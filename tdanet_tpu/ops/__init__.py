@@ -1,0 +1,33 @@
+"""Core ops: torch-parity reference implementations + TPU fast paths."""
+
+from tdanet_tpu.ops.basic import (
+    adaptive_avg_pool1d,
+    conv1d,
+    conv1d_init,
+    conv1d_xavier_init,
+    conv_transpose1d,
+    conv_transpose1d_xavier_init,
+    drop_path,
+    dropout,
+    glob_ln,
+    glob_ln_init,
+    group_norm1,
+    interpolate_nearest,
+    layer_norm,
+    layer_norm_init,
+    mha_init,
+    multi_head_attention,
+    pad_signal,
+    prelu,
+    prelu_init,
+    sinusoidal_pe,
+)
+
+__all__ = [
+    "adaptive_avg_pool1d", "conv1d", "conv1d_init", "conv1d_xavier_init",
+    "conv_transpose1d", "conv_transpose1d_xavier_init", "drop_path",
+    "dropout", "glob_ln", "glob_ln_init", "group_norm1",
+    "interpolate_nearest", "layer_norm", "layer_norm_init", "mha_init",
+    "multi_head_attention", "pad_signal", "prelu", "prelu_init",
+    "sinusoidal_pe",
+]

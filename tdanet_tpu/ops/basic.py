@@ -1,0 +1,329 @@
+"""Core 1-D neural-net ops with exact PyTorch numerics, in JAX.
+
+Every op here reproduces the semantics of the corresponding primitive used by
+the reference framework (see /root/reference/look2hear/models/TDANet_best.py)
+so that released PyTorch checkpoints produce bit-comparable outputs. Arrays
+flow in torch's (B, C, T) layout; parameters are stored in torch layouts
+(conv weight = (out, in/groups, k), bias = (out,)) so the torch→JAX
+checkpoint bridge is a pure dtype cast, no transposes.
+
+Performance notes (TPU): 1x1 convs are lowered to matmuls by XLA; general
+convs use ``lax.conv_general_dilated`` which XLA tiles onto the MXU. The
+separately-optimized channels-last fast path lives in
+``tdanet_tpu.ops.fused`` and is validated against these reference ops.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+# ---------------------------------------------------------------------------
+# Initializers (match torch defaults so training-from-scratch is comparable)
+# ---------------------------------------------------------------------------
+
+
+def _conv_init_bound(in_channels: int, groups: int, kernel: int) -> float:
+    # torch nn.Conv1d default: kaiming_uniform_(a=sqrt(5)) which reduces to
+    # U(-1/sqrt(fan_in), 1/sqrt(fan_in)), fan_in = in_channels/groups * k.
+    fan_in = (in_channels // groups) * kernel
+    return 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+
+def conv1d_init(key, in_channels, out_channels, kernel, groups=1, bias=True,
+                dtype=jnp.float32):
+    """Parameters for a torch-layout Conv1d: weight (O, I/g, K), bias (O,)."""
+    kw, kb = jax.random.split(key)
+    bound = _conv_init_bound(in_channels, groups, kernel)
+    p = {
+        "weight": jax.random.uniform(
+            kw, (out_channels, in_channels // groups, kernel), dtype,
+            minval=-bound, maxval=bound)
+    }
+    if bias:
+        p["bias"] = jax.random.uniform(
+            kb, (out_channels,), dtype, minval=-bound, maxval=bound)
+    return p
+
+
+def conv1d_xavier_init(key, in_channels, out_channels, kernel, bias=False,
+                       dtype=jnp.float32):
+    """xavier_uniform_ weight (used by the reference encoder/decoder,
+    TDANet_best.py:438,462)."""
+    bound = math.sqrt(6.0 / ((in_channels + out_channels) * kernel))
+    p = {
+        "weight": jax.random.uniform(
+            key, (out_channels, in_channels, kernel), dtype,
+            minval=-bound, maxval=bound)
+    }
+    if bias:
+        p["bias"] = jnp.zeros((out_channels,), dtype)
+    return p
+
+
+def conv_transpose1d_xavier_init(key, in_channels, out_channels, kernel,
+                                 dtype=jnp.float32):
+    """torch ConvTranspose1d weight layout is (in, out, K)."""
+    bound = math.sqrt(6.0 / ((in_channels + out_channels) * kernel))
+    return {
+        "weight": jax.random.uniform(
+            key, (in_channels, out_channels, kernel), dtype,
+            minval=-bound, maxval=bound)
+    }
+
+
+def glob_ln_init(channels, dtype=jnp.float32):
+    return {"gamma": jnp.ones((channels,), dtype),
+            "beta": jnp.zeros((channels,), dtype)}
+
+
+def layer_norm_init(channels, dtype=jnp.float32):
+    return {"weight": jnp.ones((channels,), dtype),
+            "bias": jnp.zeros((channels,), dtype)}
+
+
+def prelu_init(num_parameters=1, init=0.25, dtype=jnp.float32):
+    return {"weight": jnp.full((num_parameters,), init, dtype)}
+
+
+# ---------------------------------------------------------------------------
+# Convolutions
+# ---------------------------------------------------------------------------
+
+
+def conv1d(x, params, *, stride=1, padding=0, dilation=1, groups=1):
+    """torch-semantics Conv1d. x: (B, C, T); weight (O, I/g, K)."""
+    w = params["weight"].astype(x.dtype)
+    out = lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
+    )
+    if "bias" in params:
+        out = out + params["bias"].astype(x.dtype)[None, :, None]
+    return out
+
+
+def conv_transpose1d(x, params, *, stride=1, padding=0):
+    """torch-semantics ConvTranspose1d, weight (I, O, K).
+
+    Implemented as the standard dual: dilate the input by ``stride``, flip
+    the kernel along K, swap its in/out axes, and convolve with padding
+    (K-1-padding) — matching torch output length (L-1)*s - 2p + K
+    (used for the overlap-add decoder, TDANet_best.py:453-461).
+    """
+    w = params["weight"].astype(x.dtype)          # (I, O, K)
+    k = w.shape[-1]
+    w_flip = jnp.flip(w, axis=-1).transpose(1, 0, 2)  # (O, I, K)
+    out = lax.conv_general_dilated(
+        x, w_flip,
+        window_strides=(1,),
+        padding=[(k - 1 - padding, k - 1 - padding)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    if "bias" in params:
+        out = out + params["bias"].astype(x.dtype)[None, :, None]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Activations / norms
+# ---------------------------------------------------------------------------
+
+
+def prelu(x, params):
+    """torch nn.PReLU(); single shared slope by default. x: any shape with
+    channels on axis 1 when num_parameters > 1."""
+    a = params["weight"].astype(x.dtype)
+    if a.shape[0] == 1:
+        a = a[0]
+    else:
+        a = a.reshape((1, -1) + (1,) * (x.ndim - 2))
+    return jnp.where(x >= 0, x, a * x)
+
+
+def glob_ln(x, params, *, eps=1e-8):
+    """Global LayerNorm over all non-batch dims (TDANet_best.py:47-64):
+    normalize over (C, T) jointly, then per-channel affine."""
+    dims = tuple(range(1, x.ndim))
+    mean = jnp.mean(x, axis=dims, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=dims, keepdims=True)
+    normed = (x - mean) / jnp.sqrt(var + eps)
+    gamma = params["gamma"].astype(x.dtype)[None, :, None]
+    beta = params["beta"].astype(x.dtype)[None, :, None]
+    return gamma * normed + beta
+
+
+def group_norm1(x, params, *, eps=1e-8):
+    """torch nn.GroupNorm(1, C, eps): same statistics as glob_ln but with
+    torch's eps placement (var + eps inside rsqrt, identical) — used by most
+    non-Best variants (TDANet.py:59-60). Weight/bias keys follow torch."""
+    dims = tuple(range(1, x.ndim))
+    mean = jnp.mean(x, axis=dims, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=dims, keepdims=True)
+    normed = (x - mean) * lax.rsqrt(var + eps)
+    w = params["weight"].astype(x.dtype)[None, :, None]
+    b = params["bias"].astype(x.dtype)[None, :, None]
+    return w * normed + b
+
+
+def layer_norm(x, params, *, eps=1e-5):
+    """torch nn.LayerNorm over the last dim."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    normed = (x - mean) * lax.rsqrt(var + eps)
+    return normed * params["weight"].astype(x.dtype) + params["bias"].astype(x.dtype)
+
+
+def drop_path(x, key, drop_prob: float, training: bool):
+    """Stochastic depth per sample (TDANet_best.py:7-18)."""
+    if drop_prob == 0.0 or not training:
+        return x
+    keep = 1.0 - drop_prob
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jnp.floor(keep + jax.random.uniform(key, shape, x.dtype))
+    return x / keep * mask
+
+
+def dropout(x, key, rate: float, training: bool):
+    if rate == 0.0 or not training:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Resampling (static-shape, MXU/gather friendly)
+# ---------------------------------------------------------------------------
+
+
+def adaptive_avg_pool1d(x, out_size: int):
+    """torch F.adaptive_avg_pool1d semantics: bin i of the output averages
+    input[floor(i*L/out) : ceil((i+1)*L/out)] (TDANet_best.py:362-364).
+
+    Shapes are static under jit, so the pooling is a precomputed dense
+    (L, out) matrix contraction — it rides the MXU.
+    """
+    L = x.shape[-1]
+    if L == out_size:
+        return x
+    starts = (np.arange(out_size) * L) // out_size
+    ends = -((-(np.arange(out_size) + 1) * L) // out_size)  # ceil
+    mat = np.zeros((L, out_size), np.float32)
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        mat[s:e, i] = 1.0 / (e - s)
+    mat = jnp.asarray(mat, x.dtype)
+    return jnp.einsum("bcl,lo->bco", x, mat,
+                      preferred_element_type=x.dtype)
+
+
+def interpolate_nearest(x, out_size: int):
+    """torch F.interpolate(mode='nearest') on the last axis:
+    out[i] = in[floor(i * L_in / L_out)] (used by LA, TDANet_best.py:286-289)."""
+    L = x.shape[-1]
+    if L == out_size:
+        return x
+    idx = np.floor(np.arange(out_size) * (L / out_size)).astype(np.int64)
+    idx = np.minimum(idx, L - 1)
+    return jnp.take(x, jnp.asarray(idx), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Signal padding (lattice alignment, TDANet_best.py:465-479)
+# ---------------------------------------------------------------------------
+
+
+def pad_signal(x, window: int, stride: int):
+    """Replicates TDANetBest.pad_input: pad the tail so that
+    (stride + T) % window == 0 modulo-window, then pad both ends with
+    (window - stride) zeros. Returns (padded, rest). Static shapes only."""
+    B, T = x.shape
+    rest = window - (stride + T % window) % window
+    if rest > 0:
+        x = jnp.pad(x, ((0, 0), (0, rest)))
+    aux = window - stride
+    x = jnp.pad(x, ((0, 0), (aux, aux)))
+    return x, rest
+
+
+# ---------------------------------------------------------------------------
+# Positional encoding + multi-head attention (reference-quirk faithful)
+# ---------------------------------------------------------------------------
+
+
+def sinusoidal_pe(length: int, channels: int, dtype=jnp.float32):
+    """Sinusoidal positional table (TDANet_best.py:215-229)."""
+    # float32 throughout to match torch's arange/exp precision exactly
+    position = np.arange(length)[:, None].astype(np.float32)
+    div_term = np.exp(np.arange(0, channels, 2).astype(np.float32)
+                      * np.float32(-(math.log(10000.0) / channels)))
+    pe = np.zeros((length, channels), np.float32)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return jnp.asarray(pe, dtype)
+
+
+def mha_init(key, embed_dim, dtype=jnp.float32):
+    """torch nn.MultiheadAttention parameter layout."""
+    k1, k2 = jax.random.split(key)
+    xav = math.sqrt(6.0 / (embed_dim + 3 * embed_dim))
+    out_b = 1.0 / math.sqrt(embed_dim)
+    return {
+        "in_proj_weight": jax.random.uniform(
+            k1, (3 * embed_dim, embed_dim), dtype, minval=-xav, maxval=xav),
+        "in_proj_bias": jnp.zeros((3 * embed_dim,), dtype),
+        "out_proj": {
+            "weight": jax.random.uniform(
+                k2, (embed_dim, embed_dim), dtype, minval=-out_b, maxval=out_b),
+            "bias": jnp.zeros((embed_dim,), dtype),
+        },
+    }
+
+
+def multi_head_attention(q, k, v, params, num_heads: int, *,
+                         dropout_rate=0.0, key=None, training=False):
+    """torch F.multi_head_attention_forward numerics on (L, N, E) inputs.
+
+    Returns (L, N, E). Scaling is 1/sqrt(head_dim) applied to q, like torch.
+    """
+    L, N, E = q.shape
+    S = k.shape[0]
+    hd = E // num_heads
+    w = params["in_proj_weight"].astype(q.dtype)
+    b = params["in_proj_bias"].astype(q.dtype)
+    wq, wk, wv = w[:E], w[E:2 * E], w[2 * E:]
+    bq, bk, bv = b[:E], b[E:2 * E], b[2 * E:]
+
+    qp = q @ wq.T + bq
+    kp = k @ wk.T + bk
+    vp = v @ wv.T + bv
+
+    # (L, N, E) -> (N*heads, L, hd) following torch's reshape
+    def split_heads(t, length):
+        t = t.reshape(length, N * num_heads, hd)
+        return t.transpose(1, 0, 2)
+
+    qh = split_heads(qp, L) * (1.0 / math.sqrt(hd))
+    kh = split_heads(kp, S)
+    vh = split_heads(vp, S)
+
+    scores = jnp.einsum("nlh,nsh->nls", qh, kh,
+                        preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    if training and dropout_rate > 0.0:
+        attn = dropout(attn, key, dropout_rate, training)
+    ctx = jnp.einsum("nls,nsh->nlh", attn, vh,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    ctx = ctx.transpose(1, 0, 2).reshape(L, N, E)
+    op = params["out_proj"]
+    return ctx @ op["weight"].astype(q.dtype).T + op["bias"].astype(q.dtype)

@@ -1,0 +1,168 @@
+"""Op-level numerics parity vs PyTorch (CPU float32)."""
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from tdanet_tpu import ops
+
+RTOL, ATOL = 1e-5, 1e-5
+
+
+def to_np(t):
+    return t.detach().cpu().numpy()
+
+
+def test_conv1d_matches_torch():
+    torch.manual_seed(0)
+    m = nn.Conv1d(16, 32, 5, stride=2, padding=2, bias=True)
+    x = torch.randn(2, 16, 37)
+    want = to_np(m(x))
+    params = {"weight": jnp.asarray(to_np(m.weight)),
+              "bias": jnp.asarray(to_np(m.bias))}
+    got = ops.conv1d(jnp.asarray(to_np(x)), params, stride=2, padding=2)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
+
+
+def test_depthwise_conv1d_matches_torch():
+    torch.manual_seed(1)
+    m = nn.Conv1d(24, 24, 5, stride=2, padding=2, groups=24)
+    x = torch.randn(3, 24, 50)
+    want = to_np(m(x))
+    params = {"weight": jnp.asarray(to_np(m.weight)),
+              "bias": jnp.asarray(to_np(m.bias))}
+    got = ops.conv1d(jnp.asarray(to_np(x)), params, stride=2, padding=2,
+                     groups=24)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
+
+
+def test_conv_transpose1d_matches_torch():
+    torch.manual_seed(2)
+    m = nn.ConvTranspose1d(10, 2, 64, stride=16, padding=32, bias=False)
+    x = torch.randn(2, 10, 33)
+    want = to_np(m(x))
+    params = {"weight": jnp.asarray(to_np(m.weight))}
+    got = ops.conv_transpose1d(jnp.asarray(to_np(x)), params, stride=16,
+                               padding=32)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
+
+
+def test_prelu_matches_torch():
+    torch.manual_seed(3)
+    m = nn.PReLU()
+    with torch.no_grad():
+        m.weight.fill_(0.17)
+    x = torch.randn(2, 8, 11)
+    want = to_np(m(x))
+    got = ops.prelu(jnp.asarray(to_np(x)),
+                    {"weight": jnp.asarray(to_np(m.weight))})
+    np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
+
+
+def test_glob_ln_matches_reference():
+    from oracle import load_reference_module
+    ref = load_reference_module("TDANet_best.py")
+    torch.manual_seed(4)
+    m = ref.GlobLN(12)
+    with torch.no_grad():
+        m.gamma.normal_()
+        m.beta.normal_()
+    x = torch.randn(2, 12, 31)
+    want = to_np(m(x))
+    got = ops.glob_ln(jnp.asarray(to_np(x)),
+                      {"gamma": jnp.asarray(to_np(m.gamma)),
+                       "beta": jnp.asarray(to_np(m.beta))})
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_group_norm1_matches_torch():
+    torch.manual_seed(5)
+    m = nn.GroupNorm(1, 12, eps=1e-8)
+    with torch.no_grad():
+        m.weight.normal_()
+        m.bias.normal_()
+    x = torch.randn(2, 12, 31)
+    want = to_np(m(x))
+    got = ops.group_norm1(jnp.asarray(to_np(x)),
+                          {"weight": jnp.asarray(to_np(m.weight)),
+                           "bias": jnp.asarray(to_np(m.bias))})
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_layer_norm_matches_torch():
+    torch.manual_seed(6)
+    m = nn.LayerNorm(20)
+    with torch.no_grad():
+        m.weight.normal_()
+        m.bias.normal_()
+    x = torch.randn(2, 7, 20)
+    want = to_np(m(x))
+    got = ops.layer_norm(jnp.asarray(to_np(x)),
+                         {"weight": jnp.asarray(to_np(m.weight)),
+                          "bias": jnp.asarray(to_np(m.bias))})
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("L,out", [(37, 10), (100, 33), (16, 16), (7, 20)])
+def test_adaptive_avg_pool1d_matches_torch(L, out):
+    torch.manual_seed(7)
+    x = torch.randn(2, 6, L)
+    want = to_np(F.adaptive_avg_pool1d(x, out))
+    got = ops.adaptive_avg_pool1d(jnp.asarray(to_np(x)), out)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize("L,out", [(10, 37), (33, 100), (16, 16), (20, 7)])
+def test_interpolate_nearest_matches_torch(L, out):
+    torch.manual_seed(8)
+    x = torch.randn(2, 6, L)
+    want = to_np(F.interpolate(x, size=out, mode="nearest"))
+    got = ops.interpolate_nearest(jnp.asarray(to_np(x)), out)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize("T", [8000, 8013, 31999])
+def test_pad_signal_matches_reference(T):
+    from oracle import load_reference_module
+    ref = load_reference_module("TDANet_best.py")
+    model = ref.TDANetBest.__new__(ref.TDANetBest)  # only need pad_input
+    x = torch.randn(2, T)
+    want, want_rest = ref.TDANetBest.pad_input(model, x, 64, 16)
+    got, rest = ops.pad_signal(jnp.asarray(to_np(x)), 64, 16)
+    assert rest == want_rest
+    np.testing.assert_allclose(np.asarray(got), to_np(want), atol=0)
+
+
+def test_sinusoidal_pe_matches_reference():
+    from oracle import load_reference_module
+    ref = load_reference_module("TDANet_best.py")
+    pe_mod = ref.PositionalEncoding(32, 500)
+    want = to_np(pe_mod.pe)[0]
+    got = ops.sinusoidal_pe(500, 32)
+    # float32 trig evaluation differs in the last ulps between libm and torch
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=2e-5)
+
+
+def test_mha_matches_torch():
+    torch.manual_seed(9)
+    E, H = 64, 8
+    m = nn.MultiheadAttention(E, H, dropout=0.0)
+    m.eval()
+    L, N = 5, 3
+    x = torch.randn(L, N, E)
+    want, _ = m(x, x, x)
+    params = {
+        "in_proj_weight": jnp.asarray(to_np(m.in_proj_weight)),
+        "in_proj_bias": jnp.asarray(to_np(m.in_proj_bias)),
+        "out_proj": {"weight": jnp.asarray(to_np(m.out_proj.weight)),
+                     "bias": jnp.asarray(to_np(m.out_proj.bias))},
+    }
+    got = ops.multi_head_attention(
+        jnp.asarray(to_np(x)), jnp.asarray(to_np(x)), jnp.asarray(to_np(x)),
+        params, H)
+    np.testing.assert_allclose(np.asarray(got), to_np(want), rtol=1e-4,
+                               atol=1e-5)
