@@ -1,0 +1,386 @@
+"""Shared TDANet building blocks (functional, torch-state-dict-compatible).
+
+Each component is a tiny config object with ``init(key) -> params`` and
+``apply(params, x, ...)``; the params nesting mirrors the reference torch
+module tree (TDANet_best.py) so checkpoints map structurally.
+
+Norm flavors: ``"gln"`` = the manual GlobLN with gamma/beta params
+(TDANet_best.py:33-64); ``"gn"`` = nn.GroupNorm(1, C, eps=1e-8) with
+weight/bias params (TDANet.py:59-60). The statistics are identical; only
+parameter names differ.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tdanet_tpu import ops
+
+
+def _norm_init(channels, norm):
+    if norm == "gln":
+        return ops.glob_ln_init(channels)
+    if norm == "gn":
+        return ops.layer_norm_init(channels)  # weight/bias keys
+    raise ValueError(norm)
+
+
+def _norm_apply(params, x, norm):
+    if norm == "gln":
+        return ops.glob_ln(x, params)
+    if norm == "gn":
+        return ops.group_norm1(x, params)
+    raise ValueError(norm)
+
+
+class ConvNorm:
+    """Conv1d + global norm (TDANet_best.py:94-115)."""
+
+    def __init__(self, n_in, n_out, kernel, stride=1, groups=1, bias=True,
+                 norm="gln"):
+        self.n_in, self.n_out, self.kernel = n_in, n_out, kernel
+        self.stride, self.groups, self.bias = stride, groups, bias
+        self.norm = norm
+        self.padding = (kernel - 1) // 2
+
+    def init(self, key):
+        return {"conv": ops.conv1d_init(key, self.n_in, self.n_out,
+                                        self.kernel, self.groups, self.bias),
+                "norm": _norm_init(self.n_out, self.norm)}
+
+    def apply(self, p, x):
+        y = ops.conv1d(x, p["conv"], stride=self.stride,
+                       padding=self.padding, groups=self.groups)
+        return _norm_apply(p["norm"], y, self.norm)
+
+
+class ConvNormAct:
+    """Conv1d + global norm + PReLU (TDANet_best.py:67-91)."""
+
+    def __init__(self, n_in, n_out, kernel, stride=1, groups=1, norm="gln"):
+        self.inner = ConvNorm(n_in, n_out, kernel, stride, groups, True, norm)
+
+    def init(self, key):
+        p = self.inner.init(key)
+        p["act"] = ops.prelu_init()
+        return p
+
+    def apply(self, p, x):
+        return ops.prelu(self.inner.apply(p, x), p["act"])
+
+
+class NormAct:
+    """Norm + PReLU (TDANet_best.py:118-134)."""
+
+    def __init__(self, channels, norm="gln"):
+        self.channels, self.norm = channels, norm
+
+    def init(self, key):
+        return {"norm": _norm_init(self.channels, self.norm),
+                "act": ops.prelu_init()}
+
+    def apply(self, p, x):
+        return ops.prelu(_norm_apply(p["norm"], x, self.norm), p["act"])
+
+
+class DilatedConvNorm:
+    """Depthwise (dilated) conv + norm (TDANet_best.py:165-192)."""
+
+    def __init__(self, n_in, n_out, kernel, stride=1, dilation=1, groups=1,
+                 norm="gln"):
+        self.n_in, self.n_out, self.kernel = n_in, n_out, kernel
+        self.stride, self.dilation, self.groups = stride, dilation, groups
+        self.norm = norm
+        self.padding = ((kernel - 1) // 2) * dilation
+
+    def init(self, key):
+        return {"conv": ops.conv1d_init(key, self.n_in, self.n_out,
+                                        self.kernel, self.groups, True),
+                "norm": _norm_init(self.n_out, self.norm)}
+
+    def apply(self, p, x):
+        y = ops.conv1d(x, p["conv"], stride=self.stride,
+                       padding=self.padding, dilation=self.dilation,
+                       groups=self.groups)
+        return _norm_apply(p["norm"], y, self.norm)
+
+
+class FFN:
+    """1x1 ConvNorm -> depthwise k=5 conv -> ReLU -> 1x1 ConvNorm with
+    dropout (TDANet_best.py:195-213)."""
+
+    def __init__(self, in_features, hidden, drop=0.1, norm="gln"):
+        self.fc1 = ConvNorm(in_features, hidden, 1, bias=False, norm=norm)
+        self.fc2 = ConvNorm(hidden, in_features, 1, bias=False, norm=norm)
+        self.hidden = hidden
+        self.drop = drop
+
+    def init(self, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {"fc1": self.fc1.init(k1),
+                "dwconv": ops.conv1d_init(k2, self.hidden, self.hidden, 5,
+                                          groups=self.hidden, bias=True),
+                "fc2": self.fc2.init(k3)}
+
+    def apply(self, p, x, *, training=False, rng=None):
+        x = self.fc1.apply(p["fc1"], x)
+        x = ops.conv1d(x, p["dwconv"], padding=2, groups=self.hidden)
+        x = jax.nn.relu(x)
+        if training and self.drop > 0:
+            x = ops.dropout(x, jax.random.fold_in(rng, 0), self.drop, True)
+        x = self.fc2.apply(p["fc2"], x)
+        if training and self.drop > 0:
+            x = ops.dropout(x, jax.random.fold_in(rng, 1), self.drop, True)
+        return x
+
+
+class MultiHeadAttentionModule:
+    """The reference's transformer sublayer with its checkpoint-defining
+    quirks (TDANet_best.py:236-252):
+
+    - input (B, C, T) is transposed to (B, T, C) but the inner attention
+      runs with batch_first=False semantics, i.e. it attends over the
+      BATCH axis with T acting as the batch — reproduced exactly when
+      ``fixed=False`` (the released checkpoints were trained through this);
+    - the residual is ``output + dropout(output)`` (the attention output
+      added to itself) rather than ``x + dropout(output)``.
+
+    ``fixed=True`` gives MultiHeadAttentionFixed (TDANet_yang.py:249-266):
+    true batch_first attention over T with a real residual.
+    """
+
+    def __init__(self, channels, n_head=8, dropout=0.1, fixed=False):
+        self.channels, self.n_head, self.dropout = channels, n_head, dropout
+        self.fixed = fixed
+
+    def init(self, key):
+        return {"attn_in_norm": ops.layer_norm_init(self.channels),
+                "attn": ops.mha_init(key, self.channels),
+                "norm": ops.layer_norm_init(self.channels)}
+
+    def apply(self, p, x, *, training=False, rng=None):
+        B, C, T = x.shape
+        xt = x.transpose(0, 2, 1)                       # (B, T, C)
+        out = ops.layer_norm(xt, p["attn_in_norm"])
+        pe = ops.sinusoidal_pe(T, C, out.dtype)
+        out = out + pe[None]
+        drop = self.dropout if training else 0.0
+        akey = jax.random.fold_in(rng, 10) if rng is not None else None
+        if self.fixed:
+            # standard attention over T
+            o = ops.multi_head_attention(
+                out.transpose(1, 0, 2), out.transpose(1, 0, 2),
+                out.transpose(1, 0, 2), p["attn"], self.n_head,
+                dropout_rate=drop, key=akey, training=training)
+            attn_out = o.transpose(1, 0, 2)
+            res = out + _maybe_dropout(attn_out, rng, self.dropout, training)
+        else:
+            # quirk: (B, T, C) fed as (L=B, N=T, E=C)
+            attn_out = ops.multi_head_attention(
+                out, out, out, p["attn"], self.n_head,
+                dropout_rate=drop, key=akey, training=training)
+            res = attn_out + _maybe_dropout(attn_out, rng, self.dropout,
+                                            training)
+        res = ops.layer_norm(res, p["norm"])
+        return res.transpose(0, 2, 1)
+
+
+def _maybe_dropout(x, rng, rate, training):
+    if training and rate > 0:
+        return ops.dropout(x, jax.random.fold_in(rng, 11), rate, True)
+    return x
+
+
+class GA:
+    """Global attention: MHA + FFN with DropPath residuals
+    (TDANet_best.py:254-264)."""
+
+    def __init__(self, out_chan, drop_path=0.1, attn_dropout=0.1,
+                 fixed_mha=False, ffn_drop=0.1, norm="gln"):
+        self.attn = MultiHeadAttentionModule(out_chan, 8, attn_dropout,
+                                             fixed=fixed_mha)
+        self.mlp = FFN(out_chan, out_chan * 2, drop=ffn_drop, norm=norm)
+        self.drop_path = drop_path
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        return {"attn": self.attn.init(k1), "mlp": self.mlp.init(k2)}
+
+    def apply(self, p, x, *, training=False, rng=None):
+        a = self.attn.apply(p["attn"], x, training=training,
+                            rng=_fold(rng, 1))
+        x = x + _dp(a, self.drop_path, training, _fold(rng, 2))
+        m = self.mlp.apply(p["mlp"], x, training=training, rng=_fold(rng, 3))
+        x = x + _dp(m, self.drop_path, training, _fold(rng, 4))
+        return x
+
+
+def _fold(rng, i):
+    return jax.random.fold_in(rng, i) if rng is not None else None
+
+
+def _dp(x, prob, training, rng):
+    if training and prob > 0:
+        return ops.drop_path(x, rng, prob, True)
+    return x
+
+
+class LA:
+    """Local/global injection fusion (TDANet_best.py:266-292):
+    out = local_emb(x_l) * sigmoid(interp(global_act(x_g)))
+          + interp(global_emb(x_g)).
+    All three embeddings are depthwise when inp == oup."""
+
+    def __init__(self, inp, oup, kernel=1, norm="gln"):
+        groups = inp if inp == oup else 1
+        self.local_embedding = ConvNorm(inp, oup, kernel, groups=groups,
+                                        bias=False, norm=norm)
+        self.global_embedding = ConvNorm(inp, oup, kernel, groups=groups,
+                                         bias=False, norm=norm)
+        self.global_act = ConvNorm(inp, oup, kernel, groups=groups,
+                                   bias=False, norm=norm)
+
+    def init(self, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {"local_embedding": self.local_embedding.init(k1),
+                "global_embedding": self.global_embedding.init(k2),
+                "global_act": self.global_act.init(k3)}
+
+    def apply(self, p, x_l, x_g):
+        T = x_l.shape[-1]
+        local_feat = self.local_embedding.apply(p["local_embedding"], x_l)
+        sig_act = ops.interpolate_nearest(
+            jax.nn.sigmoid(self.global_act.apply(p["global_act"], x_g)), T)
+        global_feat = ops.interpolate_nearest(
+            self.global_embedding.apply(p["global_embedding"], x_g), T)
+        return local_feat * sig_act + global_feat
+
+
+class UConvBlock:
+    """Multi-scale U-shaped block (TDANet_best.py:295-380):
+    1x1 proj -> depthwise strided pyramid -> pooled sum -> GA -> per-scale
+    LA fusion -> top-down LA expansion (first step pairs scales
+    [depth-2] and [depth-3], reproduced exactly) -> 1x1 residual."""
+
+    def __init__(self, out_channels=128, in_channels=512, upsampling_depth=4,
+                 fixed_mha=False, drop_path=0.1, norm="gln"):
+        self.depth = upsampling_depth
+        self.in_channels = in_channels
+        self.proj_1x1 = ConvNormAct(out_channels, in_channels, 1, norm=norm)
+        self.spp_dw = [DilatedConvNorm(in_channels, in_channels, 5, 1,
+                                       groups=in_channels, norm=norm)]
+        for _ in range(1, upsampling_depth):
+            self.spp_dw.append(DilatedConvNorm(in_channels, in_channels, 5,
+                                               stride=2, groups=in_channels,
+                                               norm=norm))
+        self.loc_glo_fus = [LA(in_channels, in_channels, norm=norm)
+                            for _ in range(upsampling_depth)]
+        self.globalatt = GA(in_channels, drop_path=drop_path,
+                            fixed_mha=fixed_mha, norm=norm)
+        self.last_layer = [LA(in_channels, in_channels, 5, norm=norm)
+                           for _ in range(upsampling_depth - 1)]
+        self.out_channels = out_channels
+
+    def init(self, key):
+        keys = jax.random.split(key, 4 + 3 * self.depth)
+        p = {"proj_1x1": self.proj_1x1.init(keys[0]),
+             "spp_dw": {str(i): m.init(keys[1 + i])
+                        for i, m in enumerate(self.spp_dw)},
+             "loc_glo_fus": {str(i): m.init(keys[1 + self.depth + i])
+                             for i, m in enumerate(self.loc_glo_fus)},
+             "globalatt": self.globalatt.init(keys[1 + 2 * self.depth]),
+             "last_layer": {str(i): m.init(keys[2 + 2 * self.depth + i])
+                            for i, m in enumerate(self.last_layer)},
+             "res_conv": ops.conv1d_init(keys[-1], self.in_channels,
+                                         self.out_channels, 1)}
+        return p
+
+    def apply(self, p, x, *, training=False, rng=None):
+        residual = x
+        output1 = self.proj_1x1.apply(p["proj_1x1"], x)
+        output = [self.spp_dw[0].apply(p["spp_dw"]["0"], output1)]
+        for k in range(1, self.depth):
+            output.append(self.spp_dw[k].apply(p["spp_dw"][str(k)],
+                                               output[-1]))
+
+        coarsest = output[-1].shape[-1]
+        global_f = output[-1]  # already at coarsest; pool is identity
+        for fea in output[:-1]:
+            global_f = global_f + ops.adaptive_avg_pool1d(fea, coarsest)
+        global_f = self.globalatt.apply(p["globalatt"], global_f,
+                                        training=training, rng=rng)
+
+        x_fused = [self.loc_glo_fus[i].apply(p["loc_glo_fus"][str(i)],
+                                             output[i], global_f)
+                   for i in range(self.depth)]
+
+        expanded = None
+        for i in range(self.depth - 2, -1, -1):
+            if i == self.depth - 2:
+                # reference quirk: global input is the *finer* scale i-1
+                expanded = self.last_layer[i].apply(
+                    p["last_layer"][str(i)], x_fused[i], x_fused[i - 1])
+            else:
+                expanded = self.last_layer[i].apply(
+                    p["last_layer"][str(i)], x_fused[i], expanded)
+
+        return ops.conv1d(expanded, p["res_conv"]) + residual
+
+
+class Recurrent:
+    """Shared-weight iterative separator (TDANet_best.py:383-399): one
+    UConvBlock applied ``_iter`` times; from iteration 1 the input is
+    concat_block(mixture + x). Implemented with lax.scan over the shared
+    block so the program stays O(1) in iterations; optionally rematerialized
+    for training memory."""
+
+    def __init__(self, out_channels=128, in_channels=512, upsampling_depth=4,
+                 _iter=4, fixed_mha=False, drop_path=0.1, norm="gln",
+                 remat=False):
+        self.unet = UConvBlock(out_channels, in_channels, upsampling_depth,
+                               fixed_mha=fixed_mha, drop_path=drop_path,
+                               norm=norm)
+        self.iter = _iter
+        self.out_channels = out_channels
+        self.remat = remat
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        return {"unet": self.unet.init(k1),
+                "concat_block": {
+                    "0": ops.conv1d_init(k2, self.out_channels,
+                                         self.out_channels, 1,
+                                         groups=self.out_channels),
+                    "1": ops.prelu_init()}}
+
+    def apply(self, p, x, *, training=False, rng=None):
+        mixture = x
+
+        def unet_fn(params, inp, it_rng):
+            return self.unet.apply(params, inp, training=training, rng=it_rng)
+
+        if self.remat:
+            unet_fn = jax.checkpoint(unet_fn)
+
+        def concat(inp):
+            y = ops.conv1d(inp, p["concat_block"]["0"],
+                           groups=self.out_channels)
+            return ops.prelu(y, p["concat_block"]["1"])
+
+        x = unet_fn(p["unet"], x, _fold(rng, 0))
+
+        if self.iter > 1:
+            if rng is not None:
+                iter_rngs = jax.random.split(
+                    jax.random.fold_in(rng, 999), self.iter - 1)
+            else:
+                iter_rngs = jnp.zeros((self.iter - 1, 2), jnp.uint32)
+
+            def body(carry, it_rng):
+                r = it_rng if rng is not None else None
+                out = unet_fn(p["unet"], concat(mixture + carry), r)
+                return out, None
+
+            x, _ = jax.lax.scan(body, x, iter_rngs)
+        return x
