@@ -1,0 +1,131 @@
+"""Permutation-invariant training wrapper (reference: pit_wrapper.py:14-142).
+
+Jit-friendly: the factorial search for n_src <= 3 is a one-hot einsum over
+all permutations (pit_wrapper.py:106-131); for n_src > 3 we use a
+host-callback Hungarian assignment via scipy (pit_wrapper.py:133-142),
+keeping the loss value differentiable through a gather.
+"""
+
+from __future__ import annotations
+
+from itertools import permutations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _perm_tensor(n_src):
+    return np.array(list(permutations(range(n_src))), dtype=np.int32)
+
+
+def find_best_perm_factorial(pair_wise_losses):
+    """(B, est, tgt) -> (min_loss (B,), batch_indices (B, n_src)).
+
+    After transposition dim 1 is sources, dim 2 estimates (pit_wrapper.py:109).
+    """
+    n_src = pair_wise_losses.shape[-1]
+    pwl = jnp.swapaxes(pair_wise_losses, -1, -2)  # (B, tgt, est)
+    perms = _perm_tensor(n_src)                   # (n!, n_src)
+    one_hot = np.zeros((len(perms), n_src, n_src), np.float32)
+    for p_i, perm in enumerate(perms):
+        one_hot[p_i, np.arange(n_src), perm] = 1.0
+    loss_set = jnp.einsum("bij,pij->bp", pwl, jnp.asarray(one_hot)) / n_src
+    min_loss = jnp.min(loss_set, axis=1)
+    idx = jnp.argmin(loss_set, axis=1)
+    batch_indices = jnp.asarray(perms)[idx]
+    return min_loss, batch_indices
+
+
+def find_best_perm_hungarian(pair_wise_losses):
+    """Hungarian fallback for n_src > 3 via host callback; the returned
+    min_loss is re-gathered on device so gradients flow."""
+    from scipy.optimize import linear_sum_assignment
+
+    pwl = jnp.swapaxes(pair_wise_losses, -1, -2)
+    B, n, _ = pwl.shape
+
+    def host_assign(mat):
+        out = np.stack([linear_sum_assignment(m)[1] for m in mat])
+        return out.astype(np.int32)
+
+    batch_indices = jax.pure_callback(
+        host_assign,
+        jax.ShapeDtypeStruct((B, n), jnp.int32),
+        jax.lax.stop_gradient(pwl),
+        vmap_method="sequential",
+    )
+    min_loss = jnp.take_along_axis(pwl, batch_indices[..., None],
+                                   axis=2).mean((-1, -2))
+    return min_loss, batch_indices
+
+
+def find_best_perm(pair_wise_losses):
+    n_src = pair_wise_losses.shape[-1]
+    if n_src <= 3:
+        return find_best_perm_factorial(pair_wise_losses)
+    return find_best_perm_hungarian(pair_wise_losses)
+
+
+def reorder_sources(sources, batch_indices):
+    """Apply per-batch permutations (pit_wrapper.py:90-94)."""
+    return jnp.take_along_axis(sources, batch_indices[..., None], axis=1)
+
+
+class PITLossWrapper:
+    """Drop-in parity with the reference wrapper modes ``pw_mtx``,
+    ``pw_pt``, ``perm_avg``; ``threshold_byloss`` clips the batch to
+    utterances with loss > -30 dB (pit_wrapper.py:59-62)."""
+
+    def __init__(self, loss_func, pit_from="pw_mtx", perm_reduce=None,
+                 threshold_byloss=True):
+        if pit_from not in ("pw_mtx", "pw_pt", "perm_avg"):
+            raise ValueError(f"Unsupported pit_from {pit_from!r}")
+        self.loss_func = loss_func
+        self.pit_from = pit_from
+        self.perm_reduce = perm_reduce
+        self.threshold_byloss = threshold_byloss
+
+    def __call__(self, ests, targets, return_ests=False, **kwargs):
+        n_src = targets.shape[1]
+        if self.pit_from == "pw_mtx":
+            pw_loss = self.loss_func(ests, targets, **kwargs)
+        elif self.pit_from == "pw_pt":
+            pw_loss = self._pw_losses(ests, targets, **kwargs)
+        else:  # perm_avg
+            perms = jnp.asarray(_perm_tensor(n_src))
+            loss_set = jnp.stack(
+                [self.loss_func(ests[:, p], targets, **kwargs)
+                 for p in np.asarray(perms)], axis=1)
+            min_loss = jnp.min(loss_set, axis=1)
+            idx = jnp.argmin(loss_set, axis=1)
+            batch_indices = perms[idx]
+            mean_loss = jnp.mean(min_loss)
+            if return_ests:
+                return mean_loss, reorder_sources(ests, batch_indices)
+            return mean_loss
+
+        assert pw_loss.ndim == 3
+        min_loss, batch_indices = find_best_perm(pw_loss)
+        if self.threshold_byloss:
+            # jit-friendly masked mean over the > -30 dB subset; falls back
+            # to the plain mean when the subset is empty
+            mask = min_loss > -30.0
+            cnt = jnp.sum(mask)
+            masked = jnp.sum(jnp.where(mask, min_loss, 0.0)) / jnp.maximum(
+                cnt, 1)
+            mean_loss = jnp.where(cnt > 0, masked, jnp.mean(min_loss))
+        else:
+            mean_loss = jnp.mean(min_loss)
+        if return_ests:
+            return mean_loss, reorder_sources(ests, batch_indices)
+        return mean_loss
+
+    def _pw_losses(self, ests, targets, **kwargs):
+        # vectorized equivalent of the python double loop
+        # (pit_wrapper.py:69-77)
+        B, n_src, T = targets.shape
+        e = jnp.repeat(ests, n_src, axis=1).reshape(B * n_src * n_src, T)
+        t = jnp.tile(targets, (1, n_src, 1)).reshape(B * n_src * n_src, T)
+        flat = self.loss_func(e, t, **kwargs)
+        return flat.reshape(B, n_src, n_src)
