@@ -1,0 +1,57 @@
+"""Headline benchmark: realtime factor (RTFx) of flagship TDANetBest
+separation on one TPU chip, 16 kHz LRS2-style 2 s clips.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline = the BASELINE.json north star of 200x realtime per chip.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    seconds = float(os.environ.get("BENCH_SECONDS", "2.0"))
+    sr = 16000
+    dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[
+        os.environ.get("BENCH_DTYPE", "bf16")]
+
+    from tdanet_tpu.models import TDANetBest
+
+    model = TDANetBest(out_channels=128, in_channels=512, num_blocks=16,
+                       upsampling_depth=5, enc_kernel_size=4, num_sources=2,
+                       sample_rate=sr)
+    params = model.init(jax.random.PRNGKey(0))
+
+    T = int(sr * seconds)
+    mix = jax.random.normal(jax.random.PRNGKey(1), (batch, T), jnp.float32)
+
+    fwd = jax.jit(lambda p, x: model.apply(p, x, compute_dtype=dtype))
+    # compile + warmup
+    jax.block_until_ready(fwd(params, mix))
+    jax.block_until_ready(fwd(params, mix))
+
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, mix)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    audio_seconds = batch * seconds
+    rtfx = audio_seconds / dt
+    print(json.dumps({
+        "metric": "rtfx_tdanet_best_16k_2s",
+        "value": round(rtfx, 2),
+        "unit": "x realtime per chip",
+        "vs_baseline": round(rtfx / 200.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

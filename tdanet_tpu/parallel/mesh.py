@@ -1,0 +1,118 @@
+"""Device-mesh + sharding layout for data/tensor parallel training.
+
+The reference's only parallelism is Lightning DDP over NCCL/gloo
+(SURVEY.md §2.8; audio_train.py:30,185-195). The TPU-native replacement is
+a ``jax.sharding.Mesh`` with named axes:
+
+- ``dp``: batch (data) parallelism — gradients are reduced by XLA psum
+  over ICI, replacing DDP all-reduce;
+- ``tp``: tensor parallelism over the separator's 512-wide channel
+  dimension (proj/FFN/MHA weights), useful for latency-bound serving.
+
+Shardings are GSPMD annotations: correctness is preserved for any layout,
+XLA inserts the collectives (scaling-book recipe: pick mesh, annotate,
+let XLA do the rest).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int | None = None, tp: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp is None:
+        dp = n // tp
+    assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+# Param-path regex -> PartitionSpec for the TDANet family. Paths are
+# torch-style dotted names. The 512-channel separator weights shard over
+# 'tp'; everything else is replicated.
+TDANET_TP_RULES = [
+    # UConvBlock projection 128 -> 512: shard output channels
+    (r"sm\.unet\.proj_1x1\.conv\.weight$", P("tp", None, None)),
+    (r"sm\.unet\.proj_1x1\.conv\.bias$", P("tp")),
+    (r"sm\.unet\.proj_1x1\.norm\.(gamma|beta|weight|bias)$", P("tp")),
+    # depthwise pyramid: purely channel-parallel
+    (r"sm\.unet\.spp_dw\.\d+\.conv\.weight$", P("tp", None, None)),
+    (r"sm\.unet\.spp_dw\.\d+\.conv\.bias$", P("tp")),
+    (r"sm\.unet\.spp_dw\.\d+\.norm\.(gamma|beta|weight|bias)$", P("tp")),
+    # LA fusions: depthwise over 512 channels
+    (r"sm\.unet\.(loc_glo_fus|last_layer)\.\d+\..*conv\.weight$",
+     P("tp", None, None)),
+    (r"sm\.unet\.(loc_glo_fus|last_layer)\.\d+\..*norm\.(gamma|beta)$",
+     P("tp")),
+    # FFN: megatron-style — fc1 row-parallel, fc2 column-parallel
+    (r"sm\.unet\.globalatt\.mlp\.fc1\.conv\.weight$", P("tp", None, None)),
+    (r"sm\.unet\.globalatt\.mlp\.fc1\.norm\.(gamma|beta)$", P("tp")),
+    (r"sm\.unet\.globalatt\.mlp\.dwconv\.weight$", P("tp", None, None)),
+    (r"sm\.unet\.globalatt\.mlp\.dwconv\.bias$", P("tp")),
+    (r"sm\.unet\.globalatt\.mlp\.fc2\.conv\.weight$", P(None, "tp", None)),
+    # MHA: shard the head/embed dim of the projections
+    (r"sm\.unet\.globalatt\.attn\.attn\.in_proj_weight$", P(None, "tp")),
+    (r"sm\.unet\.globalatt\.attn\.attn\.out_proj\.weight$", P("tp", None)),
+    (r"sm\.unet\.res_conv\.weight$", P(None, "tp", None)),
+]
+
+
+def _spec_for_path(path: str, rules) -> P:
+    for pattern, spec in rules:
+        if re.search(pattern, path):
+            return spec
+    return P()  # replicated
+
+
+def _tree_paths(params, prefix=""):
+    out = {}
+    for k, v in params.items():
+        p = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_tree_paths(v, p))
+        else:
+            out[p] = v
+    return out
+
+
+def param_shardings(params, mesh: Mesh, rules=None):
+    """Pytree of NamedShardings matching ``params``' structure."""
+    rules = TDANET_TP_RULES if rules is None else rules
+
+    def rec(node, prefix):
+        if isinstance(node, dict):
+            return {k: rec(v, f"{prefix}.{k}" if prefix else k)
+                    for k, v in node.items()}
+        spec = _spec_for_path(prefix, rules)
+        # drop sharded axes that don't divide evenly -> replicate instead
+        specs = list(spec)
+        for i, s in enumerate(specs):
+            if s is not None:
+                axis_size = mesh.shape[s]
+                if i >= node.ndim or node.shape[i] % axis_size != 0:
+                    specs = [None] * max(node.ndim, 1)
+                    break
+        return NamedSharding(mesh, P(*specs))
+
+    return rec(params, "")
+
+
+def batch_sharding(mesh: Mesh):
+    """Leading batch axis over dp, everything else replicated."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_params(params, mesh: Mesh, rules=None):
+    shardings = param_shardings(params, mesh, rules)
+    return jax.device_put(params, shardings), shardings
