@@ -1,0 +1,67 @@
+"""Eval CLI (reference: audio_test.py:58-135): per-utterance test-set
+SI-SNR(i)/SDR(i) streamed to results/metrics.csv; optional separated-wav
+dump. Batches utterances through lattice-bucketed jit programs instead of
+the reference's batch=1 dynamic-shape loop.
+
+Usage:
+    python audio_test.py --conf_dir Experiments/checkpoint/<exp>/conf.yml \
+        [--ckpt_path path.pth] [--save_output true] [--save_path dir]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from tdanet_tpu import datas as data_zoo
+from tdanet_tpu import models as model_zoo
+from tdanet_tpu.metrics import MetricsTracker
+from tdanet_tpu.utils import load_yaml, separate, write_wav
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--conf_dir", required=True)
+    p.add_argument("--ckpt_path", default=None)
+    p.add_argument("--save_output", default="False")
+    p.add_argument("--save_path", default="./separated")
+    args, overrides = p.parse_known_args(argv)
+
+    conf = load_yaml(args.conf_dir)
+    exp_dir = os.path.join("Experiments", "checkpoint",
+                           conf["exp"]["exp_name"])
+    ckpt = args.ckpt_path or os.path.join(exp_dir, "best_model.pth")
+
+    sr = conf["datamodule"]["data_config"]["sample_rate"]
+    model, params = model_zoo.BaseModel.from_pretrain(
+        conf["audionet"]["audionet_name"], ckpt, sample_rate=sr,
+        **conf["audionet"]["audionet_config"])
+
+    dm = getattr(data_zoo, conf["datamodule"]["data_name"])(
+        **{**conf["datamodule"]["data_config"], "segment": None})
+    dm.setup()
+    _, _, test_set = dm.make_sets
+
+    results_dir = os.path.join(exp_dir, "results")
+    os.makedirs(results_dir, exist_ok=True)
+    metrics = MetricsTracker(os.path.join(results_dir, "metrics.csv"))
+
+    save = args.save_output.lower() == "true"
+    for idx in range(len(test_set)):
+        mix, sources, key = test_set[idx]
+        est = separate(model, params, mix)
+        metrics(mix=mix, clean=sources, estimate=np.asarray(est), key=key)
+        if save:
+            for s in range(est.shape[0]):
+                write_wav(os.path.join(args.save_path, f"s{s + 1}", key),
+                          np.asarray(est[s]), sr)
+        if idx % 50 == 0:
+            print(f"[{idx}/{len(test_set)}] {metrics.update()}")
+    final = metrics.final()
+    print("final:", final)
+    return final
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() else 0)

@@ -1,0 +1,33 @@
+"""Train CLI (reference: audio_train.py): config-driven end-to-end
+training with checkpointing, early stopping, and best_model.pth export.
+
+Usage:
+    python audio_train.py --conf_dir configs/tdanet.yml [a.b.c=value ...]
+"""
+
+import os
+
+import jax
+
+from tdanet_tpu.utils import parse_config, save_yaml
+
+
+def main(config):
+    from tdanet_tpu.system.training_loop import AudioTrainer
+
+    exp_dir = os.path.join("Experiments", "checkpoint",
+                           config["exp"]["exp_name"])
+    config.setdefault("main_args", {})["exp_dir"] = exp_dir
+    os.makedirs(exp_dir, exist_ok=True)
+    save_yaml(os.path.join(exp_dir, "conf.yml"), config)
+
+    trainer = AudioTrainer(config)
+    n_params = sum(int(x.size) for x in jax.tree_util.tree_leaves(
+        trainer.model.init(jax.random.PRNGKey(0))))
+    print(f"Model {config['audionet']['audionet_name']}: "
+          f"{n_params / 1e6:.2f}M params, devices={jax.device_count()}")
+    trainer.fit(resume=bool(config.get("main_args", {}).get("resume")))
+
+
+if __name__ == "__main__":
+    main(parse_config(default_conf="configs/tdanet.yml"))

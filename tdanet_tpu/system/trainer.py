@@ -38,7 +38,22 @@ def create_train_state(model, optimizer, key_or_params, mesh=None,
         shardings = param_shardings(params, mesh, rules)
         params = jax.device_put(params, shardings)
     opt_state = optimizer.init(params)
-    return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+    step = jnp.zeros((), jnp.int32)
+    if mesh is not None:
+        # moment buffers inherit param shardings via zeros_like; scalars
+        # (adam count, injected lr, step) land on one device — replicate
+        # them onto the mesh so every leaf is consistently committed.
+        from jax.sharding import NamedSharding
+        rep = replicated(mesh)
+
+        def fix(x):
+            if hasattr(x, "sharding") and not isinstance(
+                    x.sharding, NamedSharding):
+                return jax.device_put(x, rep)
+            return x
+        opt_state = jax.tree_util.tree_map(fix, opt_state)
+        step = jax.device_put(step, rep)
+    return TrainState(params, opt_state, step)
 
 
 def make_train_step(model, loss_fn, optimizer, mesh=None, rules=None,

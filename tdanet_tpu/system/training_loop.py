@@ -1,0 +1,250 @@
+"""Config-driven training loop (reference: audio_train.py:48-213 +
+AudioLightningModule, audio_litmodule.py:36-257) — TPU-native:
+
+- one jitted XLA program per train step (fwd+loss+grad+clip+update),
+  batch sharded over the 'dp' mesh axis, optional 'tp' weight sharding;
+- host-side schedulers mutating injected lr (no recompiles);
+- orbax top-3+last checkpointing with optimizer/scheduler state included;
+- early stopping (patience on val loss), periodic test-set validation;
+- optional speed-perturb augmentation (95/100/105%, re-mixed targets,
+  audio_litmodule.py:88-109) done host-side with a static crop length;
+- best_model.pth export in the reference schema at the end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+from scipy.signal import resample_poly
+
+import jax
+import jax.numpy as jnp
+
+from tdanet_tpu import models as model_zoo
+from tdanet_tpu.losses import PITLossWrapper, pairwise_neg_sisdr, \
+    pairwise_neg_snr
+from tdanet_tpu.parallel import make_mesh
+from tdanet_tpu.system.checkpoint import CheckpointManager, export_torch_pth
+from tdanet_tpu.system.optimizers import (
+    get_learning_rate,
+    make_optimizer,
+    set_learning_rate,
+)
+from tdanet_tpu.system.schedulers import make_scheduler
+from tdanet_tpu.system.trainer import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from tdanet_tpu.utils import print_only
+
+LOSS_TABLE = {
+    "pairwise_neg_snr": pairwise_neg_snr,
+    "pairwise_neg_sisdr": pairwise_neg_sisdr,
+}
+
+
+def build_loss(loss_conf):
+    def one(side):
+        c = loss_conf[side]
+        return PITLossWrapper(
+            LOSS_TABLE[c["sdr_type"]],
+            pit_from=c["config"].get("pit_from", "pw_mtx"),
+            threshold_byloss=c["config"].get("threshold_byloss", False))
+    return {"train": one("train"), "val": one("val")}
+
+
+def speed_perturb_batch(targets: np.ndarray, rng: np.random.Generator,
+                        speeds=(95, 100, 105)) -> tuple[np.ndarray,
+                                                        np.ndarray]:
+    """Per-source random resample then re-mix; crop to the static minimum
+    length (seg*100/max_speed) so jit shapes stay constant."""
+    B, n_src, T = targets.shape
+    out_T = (T * 100) // max(speeds)
+    new = np.zeros((B, n_src, out_T), np.float32)
+    for i in range(n_src):
+        speed = int(rng.choice(speeds))
+        if speed == 100:
+            new[:, i] = targets[:, i, :out_T]
+        else:
+            res = resample_poly(targets[:, i], 100, speed, axis=-1)
+            new[:, i] = res[:, :out_T]
+    return new.sum(1), new
+
+
+class AudioTrainer:
+    """End-to-end trainer driven by a reference-shaped config dict."""
+
+    def __init__(self, config: Dict[str, Any], mesh=None):
+        self.config = config
+        self.exp_dir = config.get("main_args", {}).get("exp_dir") or \
+            os.path.join("Experiments", "checkpoint",
+                         config["exp"]["exp_name"])
+        os.makedirs(self.exp_dir, exist_ok=True)
+
+        # model
+        net = config["audionet"]
+        sr = config["datamodule"]["data_config"]["sample_rate"]
+        self.model = model_zoo.get(net["audionet_name"])(
+            sample_rate=sr, **net["audionet_config"])
+
+        # data
+        from tdanet_tpu import datas
+        dm_cls = getattr(datas, config["datamodule"]["data_name"])
+        self.datamodule = dm_cls(**config["datamodule"]["data_config"])
+        self.datamodule.setup()
+
+        # mesh: all local devices data-parallel unless caller provides one
+        self.mesh = mesh if mesh is not None else make_mesh(tp=1)
+        self.dp = self.mesh.shape["dp"]
+
+        # optimizer + scheduler
+        opt_conf = dict(config["optimizer"])
+        optim_name = opt_conf.pop("optim_name", "adam")
+        self.base_lr = opt_conf.pop("lr", 1e-3)
+        grad_clip = config["training"].get("gradient_clip_val", 5.0)
+        self.optimizer = make_optimizer(optim_name, lr=self.base_lr,
+                                        grad_clip=grad_clip, **opt_conf)
+        sche = config.get("scheduler") or {}
+        steps_per_epoch = max(1, len(self.datamodule.train_dataloader()))
+        self.scheduler = make_scheduler(
+            sche.get("sche_name", "none"), self.base_lr,
+            steps_per_epoch=steps_per_epoch,
+            d_model=net["audionet_config"].get("in_channels", 512),
+            **sche.get("sche_config", {})) if sche else None
+        self.epoch_scheduler = sche.get("sche_name", "").lower() == \
+            "reducelronplateau"
+
+        self.loss = build_loss(config["loss"])
+        self.compute_dtype = (
+            jnp.bfloat16 if str(config["training"].get("precision", 32))
+            in ("16", "bf16", "16-mixed") else None)
+
+        self.train_step = make_train_step(
+            self.model, self.loss["train"], self.optimizer, mesh=self.mesh,
+            compute_dtype=self.compute_dtype)
+        self.eval_step = make_eval_step(self.model, self.loss["val"],
+                                        mesh=self.mesh)
+        self.ckpt = CheckpointManager(self.exp_dir, top_k=3)
+        self.history: list[Dict[str, float]] = []
+
+    # -- loops -------------------------------------------------------------
+
+    def _device_batch(self, mix, src):
+        """Trim the batch to a multiple of dp so shards are even."""
+        B = (mix.shape[0] // self.dp) * self.dp
+        if B == 0:
+            return None, None
+        return jnp.asarray(mix[:B]), jnp.asarray(src[:B])
+
+    def validate(self, loader) -> float:
+        losses = []
+        for mix, src, _ in loader:
+            mix, src = self._device_batch(mix, src)
+            if mix is None:
+                continue
+            losses.append(float(self.eval_step(self.state.params, mix, src)))
+        return float(np.mean(losses)) if losses else float("inf")
+
+    def fit(self, resume: bool = False):
+        cfg_t = self.config["training"]
+        epochs = cfg_t.get("epochs", 500)
+        patience = cfg_t.get("early_stop", {}).get("patience", 30)
+        speed_aug = bool(cfg_t.get("SpeedAug", False))
+
+        self.state = create_train_state(
+            self.model, self.optimizer, jax.random.PRNGKey(
+                cfg_t.get("seed", 0)), mesh=self.mesh)
+        start_epoch = 0
+        if resume:
+            try:
+                self.state, step = self.ckpt.restore_last(self.state)
+                extras = self.ckpt.load_extras()
+                start_epoch = extras.get("epoch", 0) + 1
+                if self.scheduler is not None and "scheduler" in extras:
+                    self.scheduler.load_state_dict(extras["scheduler"])
+                print_only(f"Resumed from step {step}, epoch {start_epoch}")
+            except FileNotFoundError:
+                print_only("No checkpoint found; training from scratch")
+
+        train_loader = self.datamodule.train_dataloader()
+        val_loader = self.datamodule.val_dataloader()
+        test_loader = self.datamodule.test_dataloader()
+        rng_host = np.random.default_rng(1234)
+        best_val, bad_epochs = float("inf"), 0
+
+        with self.mesh:
+            for epoch in range(start_epoch, epochs):
+                t0 = time.time()
+                train_losses = []
+                for b, (mix, src, _) in enumerate(train_loader):
+                    if speed_aug:
+                        mix, src = speed_perturb_batch(src, rng_host)
+                    mix, src = self._device_batch(mix, src)
+                    if mix is None:
+                        continue
+                    if self.scheduler is not None and \
+                            not self.epoch_scheduler:
+                        lr = self.scheduler.step()
+                        set_learning_rate(self.state.opt_state, lr)
+                    rng = jax.random.PRNGKey(
+                        (epoch << 20) | (b & 0xFFFFF))
+                    self.state, loss = self.train_step(
+                        self.state, mix, src, rng)
+                    train_losses.append(loss)
+                train_loss = float(jnp.mean(jnp.stack(train_losses))) \
+                    if train_losses else float("nan")
+
+                val_loss = self.validate(val_loader)
+                row = {"epoch": epoch, "train_loss": train_loss,
+                       "val_loss": val_loss,
+                       "lr": float(get_learning_rate(self.state.opt_state)),
+                       "time_s": time.time() - t0}
+                if (epoch + 1) % 10 == 0 and test_loader is not None:
+                    row["test_loss"] = self.validate(test_loader)
+                self.history.append(row)
+                print_only(json.dumps(row))
+
+                if self.scheduler is not None and self.epoch_scheduler:
+                    lr = self.scheduler.step(val_loss)
+                    set_learning_rate(self.state.opt_state, lr)
+
+                extras = {"epoch": epoch, "val_loss": val_loss}
+                if self.scheduler is not None:
+                    extras["scheduler"] = self.scheduler.state_dict()
+                self.ckpt.save(epoch, self.state, val_loss, extras)
+
+                if val_loss < best_val:
+                    best_val, bad_epochs = val_loss, 0
+                else:
+                    bad_epochs += 1
+                    if bad_epochs > patience:
+                        print_only(f"Early stopping at epoch {epoch}")
+                        break
+
+        self.ckpt.wait()
+        self.finalize()
+        return self.history
+
+    def finalize(self):
+        """Reload the best checkpoint and export best_model.pth
+        (audio_train.py:204-213)."""
+        try:
+            best_state, best_step = self.ckpt.restore_best(self.state)
+        except Exception:
+            best_state, best_step = self.state, -1
+        with open(os.path.join(self.exp_dir, "history.json"), "w") as f:
+            json.dump(self.history, f, indent=2)
+        with open(os.path.join(self.exp_dir, "best_k_models.json"),
+                  "w") as f:
+            json.dump({"best_step": best_step,
+                       "kept_steps": self.ckpt.all_best_steps()}, f)
+        params = jax.device_get(best_state.params)
+        export_torch_pth(self.model, params,
+                         os.path.join(self.exp_dir, "best_model.pth"))
+        print_only(f"Exported best_model.pth (step {best_step}) "
+                   f"to {self.exp_dir}")

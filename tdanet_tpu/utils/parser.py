@@ -137,7 +137,10 @@ def parse_config(argv=None, default_conf=None):
                         help="Path to the YAML config")
     ns, rest = parser.parse_known_args(argv)
     config = load_yaml(ns.conf_dir) if ns.conf_dir else {}
-    overrides = [a for a in rest if "=" in a]
-    config = apply_overrides(config, overrides)
+    bad = [a for a in rest if "=" not in a]
+    if bad:
+        raise SystemExit(
+            f"Unrecognized arguments {bad}; overrides must be key.path=value")
+    config = apply_overrides(config, rest)
     config.setdefault("main_args", {})["conf_dir"] = ns.conf_dir
     return config

@@ -1,0 +1,120 @@
+"""End-to-end smoke: train -> checkpoint -> resume -> export .pth ->
+reload via from_pretrain -> eval metrics -> CSS stitching."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from test_data_metrics_utils import make_synth_split
+
+SR = 8000
+
+
+@pytest.fixture(scope="module")
+def debug_config(tmp_path_factory):
+    root = tmp_path_factory.mktemp("debug_data")
+    for split in ("tr", "dev", "tt"):
+        make_synth_split(str(root / split), n_utt=4, seconds=(1.2, 1.5),
+                         seed=1)
+    exp_root = tmp_path_factory.mktemp("exp")
+    from tdanet_tpu.utils import load_yaml
+    conf = load_yaml(os.path.join(os.path.dirname(__file__), "..",
+                                  "configs", "tdanet_debug.yml"))
+    dc = conf["datamodule"]["data_config"]
+    dc.update(train_dir=str(root / "tr"), valid_dir=str(root / "dev"),
+              test_dir=str(root / "tt"))
+    conf["main_args"] = {"exp_dir": str(exp_root / "ckpt")}
+    # shrink further for CI speed
+    conf["audionet"]["audionet_config"].update(num_blocks=1,
+                                               upsampling_depth=4)
+    return conf
+
+
+def test_train_checkpoints_and_exports(debug_config):
+    from tdanet_tpu.system.training_loop import AudioTrainer
+    from tdanet_tpu.parallel import make_mesh
+
+    mesh = make_mesh(dp=2, tp=1, devices=jax.devices()[:2])
+    trainer = AudioTrainer(debug_config, mesh=mesh)
+    history = trainer.fit()
+    assert len(history) == 2
+    assert np.isfinite(history[-1]["val_loss"])
+    exp_dir = debug_config["main_args"]["exp_dir"]
+    assert os.path.exists(os.path.join(exp_dir, "best_model.pth"))
+    assert os.path.exists(os.path.join(exp_dir, "history.json"))
+    with open(os.path.join(exp_dir, "best_k_models.json")) as f:
+        best = json.load(f)
+    assert best["kept_steps"]
+
+
+def test_resume_continues(debug_config):
+    from tdanet_tpu.system.training_loop import AudioTrainer
+    from tdanet_tpu.parallel import make_mesh
+
+    conf = dict(debug_config)
+    conf["training"] = dict(debug_config["training"], epochs=3)
+    mesh = make_mesh(dp=2, tp=1, devices=jax.devices()[:2])
+    trainer = AudioTrainer(conf, mesh=mesh)
+    history = trainer.fit(resume=True)
+    assert history  # at least the resumed epoch ran
+    assert history[0]["epoch"] == 2
+
+
+def test_from_pretrain_roundtrip(debug_config):
+    from tdanet_tpu.models import BaseModel
+
+    exp_dir = debug_config["main_args"]["exp_dir"]
+    pth = os.path.join(exp_dir, "best_model.pth")
+    model, params = BaseModel.from_pretrain(pth)
+    assert type(model).__name__ == "TDANetBest"
+    est = model.apply(params, np.zeros((1, 4000), np.float32))
+    assert est.shape == (1, 2, 4000)
+
+
+def test_eval_metrics_on_trained(debug_config, tmp_path):
+    from tdanet_tpu.models import BaseModel
+    from tdanet_tpu.metrics import MetricsTracker
+    from tdanet_tpu.datas import Libri2MixDataModule
+    from tdanet_tpu.utils import separate
+
+    exp_dir = debug_config["main_args"]["exp_dir"]
+    model, params = BaseModel.from_pretrain(
+        os.path.join(exp_dir, "best_model.pth"))
+    dm = Libri2MixDataModule(
+        **{**debug_config["datamodule"]["data_config"], "segment": None})
+    dm.setup()
+    _, _, test_set = dm.make_sets
+    tracker = MetricsTracker(str(tmp_path / "metrics.csv"))
+    for i in range(2):
+        mix, src, key = test_set[i]
+        est = separate(model, params, mix)
+        tracker(mix, src, np.asarray(est), key)
+    res = tracker.final()
+    assert np.isfinite(res["si-snr_i"])
+
+
+def test_css_stitching(debug_config, tmp_path):
+    from tdanet_tpu.models import BaseModel
+    from tdanet_tpu.datas import LibriCSSDataset
+    from tdanet_tpu.utils import write_wav
+    from tdanet_tpu.utils.css import stitch_segments
+
+    exp_dir = debug_config["main_args"]["exp_dir"]
+    model, params = BaseModel.from_pretrain(
+        os.path.join(exp_dir, "best_model.pth"))
+    # make a long-form wav
+    rng = np.random.default_rng(3)
+    T = int(SR * 3.3)
+    write_wav(str(tmp_path / "long.wav"),
+              rng.standard_normal(T).astype(np.float32) * 0.1, SR)
+    ds = LibriCSSDataset(str(tmp_path), sample_rate=SR, segment=1.0,
+                         overlap=0.25)
+    name, segments, pad_len = ds[0]
+    overlap_len = int(SR * 1.0 * 0.25)
+    streams = stitch_segments(model, params, segments, overlap_len)
+    if pad_len:
+        streams = streams[:, :-pad_len]
+    assert streams.shape == (2, T)
