@@ -106,6 +106,33 @@ class DilatedConvNorm:
         return _norm_apply(p["norm"], y, self.norm)
 
 
+class DilatedSeparableConvNorm:
+    """Depthwise + pointwise conv + norm (TDANet.py "conv-pool" branch,
+    DilatedSeparableConvNorm)."""
+
+    def __init__(self, n_in, n_out, kernel, stride=1, dilation=1, groups=1,
+                 norm="gn"):
+        self.n_in, self.n_out, self.kernel = n_in, n_out, kernel
+        self.stride, self.dilation, self.groups = stride, dilation, groups
+        self.norm = norm
+        self.padding = ((kernel - 1) // 2) * dilation
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        return {"dw_conv": ops.conv1d_init(k1, self.n_in, self.n_out,
+                                           self.kernel, self.groups, True),
+                "pw_conv": ops.conv1d_init(k2, self.n_in, self.n_out, 1,
+                                           1, True),
+                "norm": _norm_init(self.n_out, self.norm)}
+
+    def apply(self, p, x):
+        y = ops.conv1d(x, p["dw_conv"], stride=self.stride,
+                       padding=self.padding, dilation=self.dilation,
+                       groups=self.groups)
+        y = ops.conv1d(y, p["pw_conv"])
+        return _norm_apply(p["norm"], y, self.norm)
+
+
 class FFN:
     """1x1 ConvNorm -> depthwise k=5 conv -> ReLU -> 1x1 ConvNorm with
     dropout (TDANet_best.py:195-213)."""
@@ -146,13 +173,21 @@ class MultiHeadAttentionModule:
     - the residual is ``output + dropout(output)`` (the attention output
       added to itself) rather than ``x + dropout(output)``.
 
-    ``fixed=True`` gives MultiHeadAttentionFixed (TDANet_yang.py:249-266):
-    true batch_first attention over T with a real residual.
+    Flavor matrix across the reference family:
+    - TDANet_best MultiHeadAttention: batch_first=False + self-residual;
+    - TDANetOld MultiHeadAttention (TDANetOld.py:219-236):
+      batch_first=True + self-residual;
+    - MultiHeadAttentionFixed (TDANet_yang.py:249-266):
+      batch_first=True + true residual.
+    ``fixed=True`` is shorthand for the last flavor.
     """
 
-    def __init__(self, channels, n_head=8, dropout=0.1, fixed=False):
+    def __init__(self, channels, n_head=8, dropout=0.1, fixed=False,
+                 batch_first=None, self_residual=None):
         self.channels, self.n_head, self.dropout = channels, n_head, dropout
-        self.fixed = fixed
+        self.batch_first = fixed if batch_first is None else batch_first
+        self.self_residual = (not fixed) if self_residual is None \
+            else self_residual
 
     def init(self, key):
         return {"attn_in_norm": ops.layer_norm_init(self.channels),
@@ -167,21 +202,20 @@ class MultiHeadAttentionModule:
         out = out + pe[None]
         drop = self.dropout if training else 0.0
         akey = jax.random.fold_in(rng, 10) if rng is not None else None
-        if self.fixed:
+        if self.batch_first:
             # standard attention over T
             o = ops.multi_head_attention(
                 out.transpose(1, 0, 2), out.transpose(1, 0, 2),
                 out.transpose(1, 0, 2), p["attn"], self.n_head,
                 dropout_rate=drop, key=akey, training=training)
             attn_out = o.transpose(1, 0, 2)
-            res = out + _maybe_dropout(attn_out, rng, self.dropout, training)
         else:
             # quirk: (B, T, C) fed as (L=B, N=T, E=C)
             attn_out = ops.multi_head_attention(
                 out, out, out, p["attn"], self.n_head,
                 dropout_rate=drop, key=akey, training=training)
-            res = attn_out + _maybe_dropout(attn_out, rng, self.dropout,
-                                            training)
+        base = attn_out if self.self_residual else out
+        res = base + _maybe_dropout(attn_out, rng, self.dropout, training)
         res = ops.layer_norm(res, p["norm"])
         return res.transpose(0, 2, 1)
 
@@ -197,20 +231,28 @@ class GA:
     (TDANet_best.py:254-264)."""
 
     def __init__(self, out_chan, drop_path=0.1, attn_dropout=0.1,
-                 fixed_mha=False, ffn_drop=0.1, norm="gln"):
-        self.attn = MultiHeadAttentionModule(out_chan, 8, attn_dropout,
-                                             fixed=fixed_mha)
+                 fixed_mha=False, ffn_drop=0.1, norm="gln",
+                 mha_kwargs=None, use_attn=True):
+        self.use_attn = use_attn  # False: MLP-only (TDANet_ULayer_num.py:250-260)
+        if use_attn:
+            self.attn = MultiHeadAttentionModule(out_chan, 8, attn_dropout,
+                                                 fixed=fixed_mha,
+                                                 **(mha_kwargs or {}))
         self.mlp = FFN(out_chan, out_chan * 2, drop=ffn_drop, norm=norm)
         self.drop_path = drop_path
 
     def init(self, key):
         k1, k2 = jax.random.split(key)
-        return {"attn": self.attn.init(k1), "mlp": self.mlp.init(k2)}
+        p = {"mlp": self.mlp.init(k2)}
+        if self.use_attn:
+            p["attn"] = self.attn.init(k1)
+        return p
 
     def apply(self, p, x, *, training=False, rng=None):
-        a = self.attn.apply(p["attn"], x, training=training,
-                            rng=_fold(rng, 1))
-        x = x + _dp(a, self.drop_path, training, _fold(rng, 2))
+        if self.use_attn:
+            a = self.attn.apply(p["attn"], x, training=training,
+                                rng=_fold(rng, 1))
+            x = x + _dp(a, self.drop_path, training, _fold(rng, 2))
         m = self.mlp.apply(p["mlp"], x, training=training, rng=_fold(rng, 3))
         x = x + _dp(m, self.drop_path, training, _fold(rng, 4))
         return x
@@ -328,6 +370,104 @@ class UConvBlock:
         return ops.conv1d(expanded, p["res_conv"]) + residual
 
 
+class UConvBlockInject:
+    """Paper-topology U-block (TDANet_yang.py:330-418, TDANet_origin.py):
+    like UConvBlock but without per-scale LA fusion — the global feature is
+    nearest-upsampled and ADDED to each scale (inject-sum). ``pool="conv"``
+    swaps the adaptive-avg-pool global branch for strided separable convs
+    applied in reverse scale order (TDANet.py:528-617, including the
+    conv_pool[depth-1-k] indexing). ``down_stride`` generalizes the
+    downsampling stride (16 in TDANet_ULayer_num.py:312-321)."""
+
+    def __init__(self, out_channels=128, in_channels=512, upsampling_depth=4,
+                 norm="gn", pool="avg", down_stride=2, fixed_mha=False,
+                 drop_path=0.1, attn_dropout=0.1, ffn_drop=0.1,
+                 inject="add", expand_pair="prev", mha_kwargs=None,
+                 ga_use_attn=True):
+        self.depth = upsampling_depth
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.pool = pool
+        self.inject = inject            # "add" | "gate" (TDANetOld.py:350)
+        self.expand_pair = expand_pair  # "prev"=x_fused[i-1] | "next"=[i+1]
+        self.proj_1x1 = ConvNormAct(out_channels, in_channels, 1, norm=norm)
+        self.spp_dw = [DilatedConvNorm(in_channels, in_channels, 5, 1,
+                                       groups=in_channels, norm=norm)]
+        for _ in range(1, upsampling_depth):
+            self.spp_dw.append(DilatedConvNorm(
+                in_channels, in_channels, 2 * down_stride + 1,
+                stride=down_stride, groups=in_channels, norm=norm))
+        if pool == "conv":
+            self.conv_pool = [DilatedSeparableConvNorm(
+                in_channels, in_channels, 5, 1, groups=in_channels,
+                norm=norm)]
+            for i in range(1, upsampling_depth):
+                cs = 2 ** i
+                self.conv_pool.append(DilatedSeparableConvNorm(
+                    in_channels, in_channels, 2 * cs + 1, stride=cs,
+                    groups=in_channels, norm=norm))
+        self.globalatt = GA(in_channels, drop_path=drop_path,
+                            attn_dropout=attn_dropout, fixed_mha=fixed_mha,
+                            ffn_drop=ffn_drop, norm=norm,
+                            mha_kwargs=mha_kwargs, use_attn=ga_use_attn)
+        self.last_layer = [LA(in_channels, in_channels, 5, norm=norm)
+                           for _ in range(upsampling_depth - 1)]
+
+    def init(self, key):
+        keys = jax.random.split(key, 4 + 2 * self.depth)
+        p = {"proj_1x1": self.proj_1x1.init(keys[0]),
+             "spp_dw": {str(i): m.init(keys[1 + i])
+                        for i, m in enumerate(self.spp_dw)},
+             "globalatt": self.globalatt.init(keys[1 + self.depth]),
+             "last_layer": {str(i): m.init(keys[2 + self.depth + i])
+                            for i, m in enumerate(self.last_layer)},
+             "res_conv": ops.conv1d_init(keys[-1], self.in_channels,
+                                         self.out_channels, 1)}
+        if self.pool == "conv":
+            ck = jax.random.split(keys[-2], self.depth)
+            p["conv_pool"] = {str(i): m.init(ck[i])
+                              for i, m in enumerate(self.conv_pool)}
+        return p
+
+    def apply(self, p, x, *, training=False, rng=None):
+        residual = x
+        output1 = self.proj_1x1.apply(p["proj_1x1"], x)
+        output = [self.spp_dw[0].apply(p["spp_dw"]["0"], output1)]
+        for k in range(1, self.depth):
+            output.append(self.spp_dw[k].apply(p["spp_dw"][str(k)],
+                                               output[-1]))
+        if self.pool == "conv":
+            # conv_pool applied in REVERSED index order (TDANet.py:604-608)
+            pooled = [self.conv_pool[self.depth - k - 1].apply(
+                p["conv_pool"][str(self.depth - k - 1)], fea)
+                for k, fea in enumerate(output)]
+        else:
+            coarsest = output[-1].shape[-1]
+            pooled = [ops.adaptive_avg_pool1d(fea, coarsest)
+                      for fea in output]
+        global_f = pooled[0]
+        for fea in pooled[1:]:
+            global_f = global_f + fea
+        global_f = self.globalatt.apply(p["globalatt"], global_f,
+                                        training=training, rng=rng)
+
+        if self.inject == "gate":
+            x_fused = [jax.nn.sigmoid(
+                ops.interpolate_nearest(global_f, o.shape[-1])) * o
+                for o in output]
+        else:
+            x_fused = [ops.interpolate_nearest(global_f, o.shape[-1]) + o
+                       for o in output]
+        first_pair = (self.depth - 3 if self.expand_pair == "prev"
+                      else self.depth - 1)
+        expanded = None
+        for i in range(self.depth - 2, -1, -1):
+            g = x_fused[first_pair] if i == self.depth - 2 else expanded
+            expanded = self.last_layer[i].apply(p["last_layer"][str(i)],
+                                                x_fused[i], g)
+        return ops.conv1d(expanded, p["res_conv"]) + residual
+
+
 class Recurrent:
     """Shared-weight iterative separator (TDANet_best.py:383-399): one
     UConvBlock applied ``_iter`` times; from iteration 1 the input is
@@ -337,10 +477,10 @@ class Recurrent:
 
     def __init__(self, out_channels=128, in_channels=512, upsampling_depth=4,
                  _iter=4, fixed_mha=False, drop_path=0.1, norm="gln",
-                 remat=False):
-        self.unet = UConvBlock(out_channels, in_channels, upsampling_depth,
-                               fixed_mha=fixed_mha, drop_path=drop_path,
-                               norm=norm)
+                 remat=False, block=None):
+        self.unet = block if block is not None else UConvBlock(
+            out_channels, in_channels, upsampling_depth,
+            fixed_mha=fixed_mha, drop_path=drop_path, norm=norm)
         self.iter = _iter
         self.out_channels = out_channels
         self.remat = remat
@@ -383,4 +523,82 @@ class Recurrent:
                 return out, None
 
             x, _ = jax.lax.scan(body, x, iter_rngs)
+        return x
+
+
+class _GateConvPair:
+    """depthwise k=3 conv -> 1x1 conv (the reset/update gate convs,
+    TDANet_gate_variant.py:400-425)."""
+
+    def __init__(self, channels, kernel=3):
+        self.channels, self.kernel = channels, kernel
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        return {"0": ops.conv1d_init(k1, self.channels, self.channels,
+                                     self.kernel, groups=self.channels),
+                "1": ops.conv1d_init(k2, self.channels, self.channels, 1)}
+
+    def apply(self, p, x):
+        y = ops.conv1d(x, p["0"], padding=self.kernel // 2,
+                       groups=self.channels)
+        return ops.conv1d(y, p["1"])
+
+
+class GatedRecurrent:
+    """GRU-style gated recurrence around the shared U-block
+    (TDANet_gate_variant.py:392-467): reset/update convolution gates on
+    (mixture, x); iteration output = unet(prelu(x)) * u + mixture * r.
+    Gate norms are GroupNorm(1, C, eps=1e-6)."""
+
+    def __init__(self, out_channels=128, in_channels=512, upsampling_depth=4,
+                 _iter=4, block=None, norm="gn", fixed_mha=False):
+        self.unet = block if block is not None else UConvBlockInject(
+            out_channels, in_channels, upsampling_depth, norm=norm,
+            fixed_mha=fixed_mha)
+        self.iter = _iter
+        self.out_channels = out_channels
+        C = out_channels
+        self.reset_conv_x = _GateConvPair(C)
+        self.reset_conv_h = _GateConvPair(C)
+        self.update_conv_x = _GateConvPair(C)
+        self.update_conv_h = _GateConvPair(C)
+
+    def init(self, key):
+        ks = jax.random.split(key, 9)
+        C = self.out_channels
+        return {
+            "unet": self.unet.init(ks[0]),
+            "concat_block": {"0": ops.conv1d_init(ks[1], C, C, 1, groups=C),
+                             "1": ops.prelu_init()},
+            "reset_conv_x": self.reset_conv_x.init(ks[2]),
+            "reset_conv_h": self.reset_conv_h.init(ks[3]),
+            "update_conv_x": self.update_conv_x.init(ks[4]),
+            "update_conv_h": self.update_conv_h.init(ks[5]),
+            "output_conv_x": ops.conv1d_init(ks[6], C, C, 3, groups=C),
+            "output_conv_h": ops.conv1d_init(ks[7], C, C, 3, groups=C),
+            "reset_gate_norm": ops.layer_norm_init(C),
+            "update_gate_norm": ops.layer_norm_init(C),
+            "output_norm": ops.layer_norm_init(C),
+            "in_act": ops.prelu_init(),
+        }
+
+    def _gate(self, p_x, p_h, mod_x, mod_h, norm_p, x, h):
+        g = mod_x.apply(p_x, x) + mod_h.apply(p_h, h)
+        return jax.nn.sigmoid(ops.group_norm1(g, norm_p, eps=1e-6))
+
+    def apply(self, p, x, *, training=False, rng=None):
+        mixture = x
+        x = self.unet.apply(p["unet"], ops.prelu(x, p["in_act"]),
+                            training=training, rng=_fold(rng, 0))
+        for i in range(1, self.iter):
+            r = self._gate(p["reset_conv_x"], p["reset_conv_h"],
+                           self.reset_conv_x, self.reset_conv_h,
+                           p["reset_gate_norm"], mixture, x)
+            u = self._gate(p["update_conv_x"], p["update_conv_h"],
+                           self.update_conv_x, self.update_conv_h,
+                           p["update_gate_norm"], mixture, x)
+            h = self.unet.apply(p["unet"], ops.prelu(x, p["in_act"]),
+                                training=training, rng=_fold(rng, i))
+            x = h * u + mixture * r
         return x

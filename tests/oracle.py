@@ -12,7 +12,54 @@ import types
 REFERENCE_MODELS = "/root/reference/look2hear/models"
 
 
+def _install_timm_stub():
+    """timm isn't in the image; the reference only uses DropPath,
+    to_2tuple, trunc_normal_ from timm.models.layers."""
+    if "timm" in sys.modules:
+        return
+    import itertools
+
+    import torch
+    import torch.nn as nn
+
+    class DropPath(nn.Module):
+        def __init__(self, drop_prob=None):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            if self.drop_prob in (None, 0.0) or not self.training:
+                return x
+            keep = 1 - self.drop_prob
+            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+            rand = keep + torch.rand(shape, dtype=x.dtype, device=x.device)
+            return x / keep * rand.floor_()
+
+    def to_2tuple(x):
+        if isinstance(x, (list, tuple)):
+            return tuple(x)
+        return tuple(itertools.repeat(x, 2))
+
+    def trunc_normal_(tensor, mean=0., std=1., a=-2., b=2.):
+        with torch.no_grad():
+            tensor.normal_(mean, std).clamp_(a * std, b * std)
+        return tensor
+
+    timm = types.ModuleType("timm")
+    timm_models = types.ModuleType("timm.models")
+    timm_layers = types.ModuleType("timm.models.layers")
+    timm_layers.DropPath = DropPath
+    timm_layers.to_2tuple = to_2tuple
+    timm_layers.trunc_normal_ = trunc_normal_
+    timm_models.layers = timm_layers
+    timm.models = timm_models
+    sys.modules["timm"] = timm
+    sys.modules["timm.models"] = timm_models
+    sys.modules["timm.models.layers"] = timm_layers
+
+
 def _install_stubs():
+    _install_timm_stub()
     if "look2hear" in sys.modules:
         return
     import torch.nn as nn
@@ -27,7 +74,9 @@ def _install_stubs():
             return {}
 
     pkg = types.ModuleType("look2hear")
+    pkg.__path__ = ["/root/reference/look2hear"]
     models = types.ModuleType("look2hear.models")
+    models.__path__ = [REFERENCE_MODELS]
     bm = types.ModuleType("look2hear.models.base_model")
     bm.BaseModel = BaseModel
     models.base_model = bm
@@ -41,16 +90,35 @@ _LOADED = {}
 
 
 def load_reference_module(filename: str):
-    """Import e.g. 'TDANet_best.py' from the reference tree, stubbed."""
+    """Import e.g. 'TDANet_best.py' from the reference tree, stubbed.
+
+    Reference submodules imported as look2hear.models.<name> are loaded
+    on demand and registered so intra-package imports resolve.
+    """
     if filename in _LOADED:
         return _LOADED[filename]
     _install_stubs()
-    name = "ref_" + filename.replace(".py", "").replace("-", "_")
+    # register as a real submodule of the stubbed package so relative
+    # imports (TDANetOld.py:5) resolve
+    stem = filename.replace(".py", "").replace("-", "_")
+    name = f"look2hear.models.{stem}"
     spec = importlib.util.spec_from_file_location(
         name, f"{REFERENCE_MODELS}/{filename}")
     mod = importlib.util.module_from_spec(spec)
     sys.modules[name] = mod
-    spec.loader.exec_module(mod)
+    try:
+        spec.loader.exec_module(mod)
+    except ModuleNotFoundError as e:
+        missing = e.name
+        prefix = "look2hear.models."
+        if missing and missing.startswith(prefix):
+            sub = missing[len(prefix):]
+            submod = load_reference_module(f"{sub}.py")
+            sys.modules[missing] = submod
+            setattr(sys.modules["look2hear.models"], sub, submod)
+            spec.loader.exec_module(mod)
+        else:
+            raise
     _LOADED[filename] = mod
     return mod
 
