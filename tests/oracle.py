@@ -51,11 +51,21 @@ def _install_timm_stub():
     timm_layers.DropPath = DropPath
     timm_layers.to_2tuple = to_2tuple
     timm_layers.trunc_normal_ = trunc_normal_
+    timm_registry = types.ModuleType("timm.models.registry")
+    timm_registry.register_model = lambda fn=None, **kw: (
+        fn if fn is not None else (lambda f: f))
+    timm_data = types.ModuleType("timm.data")
+    timm_data.IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
+    timm_data.IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
     timm_models.layers = timm_layers
+    timm_models.registry = timm_registry
     timm.models = timm_models
+    timm.data = timm_data
     sys.modules["timm"] = timm
     sys.modules["timm.models"] = timm_models
     sys.modules["timm.models.layers"] = timm_layers
+    sys.modules["timm.models.registry"] = timm_registry
+    sys.modules["timm.data"] = timm_data
 
 
 def _install_stubs():
