@@ -392,12 +392,13 @@ class HybridTokenMixer1D:
         x2 = self.global_unit.apply(p["global_unit"], x2,
                                     training=training, rng=rng)
         y = jnp.concatenate([x1, x2], axis=1)
+        # bare nn.GroupNorm(1, .) in the STE proj -> torch default eps 1e-5
         z = ops.conv1d(y, p["proj"]["0"], padding=1, groups=self.dim)
-        z = ops.group_norm1(_ACTS["gelu"](z), p["proj"]["2"])
+        z = ops.group_norm1(_ACTS["gelu"](z), p["proj"]["2"], eps=1e-5)
         z = ops.conv1d(z, p["proj"]["3"])
-        z = ops.group_norm1(_ACTS["gelu"](z), p["proj"]["5"])
+        z = ops.group_norm1(_ACTS["gelu"](z), p["proj"]["5"], eps=1e-5)
         z = ops.conv1d(z, p["proj"]["6"])
-        z = ops.group_norm1(z, p["proj"]["7"])
+        z = ops.group_norm1(z, p["proj"]["7"], eps=1e-5)
         return z + y
 
 

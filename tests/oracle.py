@@ -48,9 +48,24 @@ def _install_timm_stub():
     timm = types.ModuleType("timm")
     timm_models = types.ModuleType("timm.models")
     timm_layers = types.ModuleType("timm.models.layers")
+    def named_apply(fn, module, name="", depth_first=True,
+                    include_root=False):
+        if not depth_first and include_root:
+            fn(module=module, name=name)
+        for child_name, child in module.named_children():
+            child_full = f"{name}.{child_name}" if name else child_name
+            named_apply(fn, child, child_full, depth_first, True)
+        if depth_first and include_root:
+            fn(module=module, name=name)
+        return module
+
     timm_layers.DropPath = DropPath
     timm_layers.to_2tuple = to_2tuple
     timm_layers.trunc_normal_ = trunc_normal_
+    timm_layers.trunc_normal_tf_ = trunc_normal_
+    timm_helpers = types.ModuleType("timm.models.helpers")
+    timm_helpers.named_apply = named_apply
+    sys.modules["timm.models.helpers"] = timm_helpers
     timm_registry = types.ModuleType("timm.models.registry")
     timm_registry.register_model = lambda fn=None, **kw: (
         fn if fn is not None else (lambda f: f))
@@ -59,6 +74,7 @@ def _install_timm_stub():
     timm_data.IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
     timm_models.layers = timm_layers
     timm_models.registry = timm_registry
+    timm_models.helpers = sys.modules["timm.models.helpers"]
     timm.models = timm_models
     timm.data = timm_data
     sys.modules["timm"] = timm
