@@ -218,7 +218,8 @@ class Attention1D:
             p["sr"] = {"0": self.sr0.init(k1), "1": self.sr1.init(k2)}
         return p
 
-    def _attend(self, p, x, context, *, training=False, rng=None):
+    def _attend(self, p, x, context, *, training=False, rng=None,
+                rpe=None):
         B, C, L = x.shape
         H = self.num_heads
         hd = C // H
@@ -238,6 +239,10 @@ class Attention1D:
         v = v.reshape(B, H, hd, S).transpose(0, 1, 3, 2)  # (B,H,S,hd)
         attn = jnp.einsum("bhlc,bhcs->bhls", q, k,
                           preferred_element_type=jnp.float32) * self.scale
+        if rpe is not None:
+            # learned relative position bias (TDANet_OSRA_gated.py:355,382)
+            assert rpe.shape[2:] == attn.shape[2:], (rpe.shape, attn.shape)
+            attn = attn + rpe.astype(attn.dtype)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1) \
             .astype(x.dtype)
         if training and self.attn_drop > 0:
@@ -246,8 +251,8 @@ class Attention1D:
                          preferred_element_type=jnp.float32).astype(x.dtype)
         return out.transpose(0, 1, 3, 2).reshape(B, C, L)
 
-    def apply(self, p, x, *, training=False, rng=None):
-        return self._attend(p, x, x, training=training, rng=rng)
+    def apply(self, p, x, *, training=False, rng=None, rpe=None):
+        return self._attend(p, x, x, training=training, rng=rng, rpe=rpe)
 
 
 class CrossAttention1D(Attention1D):
@@ -386,11 +391,11 @@ class HybridTokenMixer1D:
             },
         }
 
-    def apply(self, p, x, *, training=False, rng=None):
+    def apply(self, p, x, *, training=False, rng=None, rpe=None):
         x1, x2 = jnp.split(x, 2, axis=1)
         x1 = self.local_unit.apply(p["local_unit"], x1)
         x2 = self.global_unit.apply(p["global_unit"], x2,
-                                    training=training, rng=rng)
+                                    training=training, rng=rng, rpe=rpe)
         y = jnp.concatenate([x1, x2], axis=1)
         # bare nn.GroupNorm(1, .) in the STE proj -> torch default eps 1e-5
         z = ops.conv1d(y, p["proj"]["0"], padding=1, groups=self.dim)
@@ -432,7 +437,7 @@ class Block1D:
             p["layer_scale_2"] = self.ls2.init(ks[4])
         return p
 
-    def apply(self, p, x, *, training=False, rng=None):
+    def apply(self, p, x, *, training=False, rng=None, rpe=None):
         def dp(v, i):
             if training and self.drop_path > 0:
                 return ops.drop_path(v, jax.random.fold_in(rng, i),
@@ -442,7 +447,7 @@ class Block1D:
         x = x + ops.conv1d(x, p["pos_embed"], padding=3, groups=self.dim)
         t = self.token_mixer.apply(p["token_mixer"],
                                    ops.group_norm1(x, p["norm1"]),
-                                   training=training, rng=rng)
+                                   training=training, rng=rng, rpe=rpe)
         if self.use_ls:
             t = self.ls1.apply(p["layer_scale_1"], t)
         x = x + dp(t, 1)

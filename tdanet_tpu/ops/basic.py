@@ -112,23 +112,26 @@ def conv1d(x, params, *, stride=1, padding=0, dilation=1, groups=1):
     return out
 
 
-def conv_transpose1d(x, params, *, stride=1, padding=0):
-    """torch-semantics ConvTranspose1d, weight (I, O, K).
+def conv_transpose1d(x, params, *, stride=1, padding=0, groups=1):
+    """torch-semantics ConvTranspose1d, weight (I, O/g, K).
 
     Implemented as the standard dual: dilate the input by ``stride``, flip
     the kernel along K, swap its in/out axes, and convolve with padding
     (K-1-padding) — matching torch output length (L-1)*s - 2p + K
     (used for the overlap-add decoder, TDANet_best.py:453-461).
     """
-    w = params["weight"].astype(x.dtype)          # (I, O, K)
-    k = w.shape[-1]
-    w_flip = jnp.flip(w, axis=-1).transpose(1, 0, 2)  # (O, I, K)
+    w = params["weight"].astype(x.dtype)          # (I, O/g, K)
+    I, og, k = w.shape
+    # rearrange to the dual conv's (O, I/g, K) grouped layout
+    w = w.reshape(groups, I // groups, og, k).transpose(0, 2, 1, 3)
+    w_flip = jnp.flip(w.reshape(groups * og, I // groups, k), axis=-1)
     out = lax.conv_general_dilated(
         x, w_flip,
         window_strides=(1,),
         padding=[(k - 1 - padding, k - 1 - padding)],
         lhs_dilation=(stride,),
         dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
     )
     if "bias" in params:
         out = out + params["bias"].astype(x.dtype)[None, :, None]
