@@ -52,7 +52,8 @@ def available_models():
 # torch state-dict <-> pytree bridge
 # ---------------------------------------------------------------------------
 
-_SKIP_SUFFIXES = (".pe",)  # positional-encoding buffers are regenerated
+# deterministic buffers regenerated on our side rather than loaded
+_SKIP_SUFFIXES = (".pe", "relative_position_index", "attn_mask")
 
 
 def flat_torch_to_pytree(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
