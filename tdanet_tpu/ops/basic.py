@@ -97,18 +97,53 @@ def prelu_init(num_parameters=1, init=0.25, dtype=jnp.float32):
 
 
 def conv1d(x, params, *, stride=1, padding=0, dilation=1, groups=1):
-    """torch-semantics Conv1d. x: (B, C, T); weight (O, I/g, K)."""
+    """torch-semantics Conv1d. x: (B, C, T); weight (O, I/g, K).
+
+    Depthwise convs (groups == C_in == C_out) take a shift-multiply-add
+    fast path: XLA's TPU lowering of feature-grouped convolutions is much
+    slower than K strided-slice multiply-adds on the VPU, and the TDANet
+    family is dominated by depthwise k<=5 convs.
+    """
     w = params["weight"].astype(x.dtype)
-    out = lax.conv_general_dilated(
-        x, w,
-        window_strides=(stride,),
-        padding=[(padding, padding)],
-        rhs_dilation=(dilation,),
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        feature_group_count=groups,
-    )
+    O, ig, K = w.shape
+    C = x.shape[1]
+    # k==1 depthwise = per-channel scale; for k>1 XLA's grouped-conv
+    # lowering beats strided lane-slicing in this (B, C, T) layout
+    if groups == C and O == C and ig == 1 and K == 1 and stride == 1 \
+            and padding == 0:
+        out = _depthwise_conv1d(x, w, stride, padding, dilation)
+    else:
+        out = lax.conv_general_dilated(
+            x, w,
+            window_strides=(stride,),
+            padding=[(padding, padding)],
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            feature_group_count=groups,
+        )
     if "bias" in params:
         out = out + params["bias"].astype(x.dtype)[None, :, None]
+    return out
+
+
+def _depthwise_conv1d(x, w, stride, padding, dilation):
+    """Depthwise conv as a static-K sum of strided slices (VPU-friendly).
+    x: (B, C, T), w: (C, 1, K)."""
+    B, C, T = x.shape
+    K = w.shape[-1]
+    if K == 1 and stride == 1 and padding == 0:
+        return x * w[None, :, 0, :]
+    if padding > 0:
+        x = jnp.pad(x, ((0, 0), (0, 0), (padding, padding)))
+    span = (K - 1) * dilation + 1
+    L_out = (x.shape[-1] - span) // stride + 1
+    out = None
+    for k in range(K):
+        start = k * dilation
+        sl = lax.slice_in_dim(x, start, start + (L_out - 1) * stride + 1,
+                              stride=stride, axis=2)
+        term = sl * w[None, :, 0, k:k + 1]
+        out = term if out is None else out + term
     return out
 
 
