@@ -54,17 +54,30 @@ class _ManifestDataModule:
         # length only when segment=None)
         self.data_test = self._make(self.test_dir, self.segment)
 
-    def train_dataloader(self):
-        return Loader(self.data_train, self.batch_size, shuffle=True,
+    def _loader(self, ds, shuffle):
+        # prefer the C++ thread-pool loader when it's available and the
+        # dataset has a fixed segment (training shapes)
+        if ds.seg_len is not None:
+            try:
+                from tdanet_tpu.datas.native_loader import (
+                    NativeLoader, native_available)
+                if native_available():
+                    return NativeLoader(ds, self.batch_size,
+                                        shuffle=shuffle,
+                                        num_workers=self.num_workers or 2)
+            except Exception:
+                pass
+        return Loader(ds, self.batch_size, shuffle=shuffle,
                       num_workers=self.num_workers or 1)
+
+    def train_dataloader(self):
+        return self._loader(self.data_train, True)
 
     def val_dataloader(self):
-        return Loader(self.data_val, self.batch_size, shuffle=False,
-                      num_workers=self.num_workers or 1)
+        return self._loader(self.data_val, False)
 
     def test_dataloader(self):
-        return Loader(self.data_test, self.batch_size, shuffle=False,
-                      num_workers=self.num_workers or 1)
+        return self._loader(self.data_test, False)
 
     @property
     def make_loader(self):
