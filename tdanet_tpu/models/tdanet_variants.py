@@ -416,3 +416,16 @@ class TDANetAttn(_StandardTDANet):
         else:
             est = est[:, :, K - S: est.shape[-1] - (rest + K - S)]
         return est[0] if was_one_d else est
+
+
+@register_model
+class TDANetV2(_StandardTDANet):
+    """TDANetBlock restructure: inject-sum fusion with the corrected
+    first expansion pairing x_fused[i+1] and the unfixed MHA active
+    (TDANet-v2.py:308-404,406-). NOTE: the reference class itself is
+    uninstantiable (it subclasses nn.Module but passes sample_rate to
+    super().__init__, TDANet-v2.py:417) and is not exported; this is the
+    working equivalent of its evident intent."""
+
+    EXPAND_PAIR = "next"
+    MHA_KWARGS = dict(batch_first=False, self_residual=True)
