@@ -48,16 +48,20 @@ def main(argv=None):
     metrics = MetricsTracker(os.path.join(results_dir, "metrics.csv"))
 
     save = args.save_output.lower() == "true"
-    for idx in range(len(test_set)):
-        mix, sources, key = test_set[idx]
-        est = separate(model, params, mix)
-        metrics(mix=mix, clean=sources, estimate=np.asarray(est), key=key)
-        if save:
-            for s in range(est.shape[0]):
-                write_wav(os.path.join(args.save_path, f"s{s + 1}", key),
-                          np.asarray(est[s]), sr)
-        if idx % 50 == 0:
-            print(f"[{idx}/{len(test_set)}] {metrics.update()}")
+    from tdanet_tpu.utils.progress import eval_progress
+    progress, metrics_col = eval_progress("Testing")
+    with progress:
+        for idx in progress.track(range(len(test_set))):
+            mix, sources, key = test_set[idx]
+            est = separate(model, params, mix)
+            metrics(mix=mix, clean=sources, estimate=np.asarray(est),
+                    key=key)
+            if save:
+                for s in range(est.shape[0]):
+                    write_wav(os.path.join(args.save_path, f"s{s + 1}",
+                                           key), np.asarray(est[s]), sr)
+            if idx % 50 == 0:
+                metrics_col.update(metrics.update())
     final = metrics.final()
     print("final:", final)
     return final

@@ -22,10 +22,22 @@ def main(config):
     save_yaml(os.path.join(exp_dir, "conf.yml"), config)
 
     trainer = AudioTrainer(config)
-    n_params = sum(int(x.size) for x in jax.tree_util.tree_leaves(
-        trainer.model.init(jax.random.PRNGKey(0))))
-    print(f"Model {config['audionet']['audionet_name']}: "
-          f"{n_params / 1e6:.2f}M params, devices={jax.device_count()}")
+    from tdanet_tpu.utils.profiling import count_params, profile_model
+    params = trainer.model.init(jax.random.PRNGKey(0))
+    sr = config["datamodule"]["data_config"]["sample_rate"]
+    seg = config["datamodule"]["data_config"].get("segment") or 1.0
+    try:
+        import numpy as _np
+        prof = profile_model(trainer.model, params,
+                             _np.zeros((1, int(sr * seg)), _np.float32))
+        print(f"Model {config['audionet']['audionet_name']}: "
+              f"{prof['params'] / 1e6:.2f}M params, "
+              f"{prof['macs'] / 1e9:.2f} GMACs/segment, "
+              f"devices={jax.device_count()}")
+    except Exception:
+        print(f"Model {config['audionet']['audionet_name']}: "
+              f"{count_params(params) / 1e6:.2f}M params, "
+              f"devices={jax.device_count()}")
     trainer.fit(resume=bool(config.get("main_args", {}).get("resume")))
 
 

@@ -43,7 +43,8 @@ class SeparationDataset:
 
     def __init__(self, json_dir, mix_key="mix_clean", n_src=2,
                  sample_rate=8000, segment=4.0, normalize_audio=False,
-                 source_keys=None):
+                 source_keys=None, audio_only=True, fps=25,
+                 mouth_preprocess=None):
         if not json_dir:
             raise ValueError("JSON DIR is None!")
         self.json_dir = json_dir
@@ -52,6 +53,11 @@ class SeparationDataset:
         self.n_src = n_src
         self.seg_len = None if segment is None else int(segment * sample_rate)
         self.test = self.seg_len is None
+        # audio-visual branch (lrs2datamodule.py:180-247): source manifest
+        # rows carry a mouth-crop .npz path at index 1
+        self.audio_only = audio_only
+        self.fps_len = None if segment is None else int(segment * fps)
+        self.mouth_preprocess = mouth_preprocess or (lambda a: a)
         source_keys = source_keys or [f"s{i + 1}" for i in range(n_src)]
 
         with open(os.path.join(json_dir, f"{mix_key}.json")) as f:
@@ -92,6 +98,11 @@ class SeparationDataset:
             m_std = mixture.std(-1, keepdims=True)
             mixture = normalize_wav(mixture, std=m_std)
             sources = normalize_wav(sources, std=m_std)
+        if not self.audio_only:
+            mouths = np.stack([
+                self.mouth_preprocess(np.load(src[idx][1])["data"])
+                for src in self.sources])[:, :self.fps_len]
+            return mixture, sources, mouths, os.path.basename(path)
         return mixture, sources, os.path.basename(path)
 
 

@@ -45,7 +45,8 @@ class _ManifestDataModule:
         return SeparationDataset(
             json_dir, mix_key=self.MIX_KEY, n_src=self.n_src,
             sample_rate=self.sample_rate, segment=segment,
-            normalize_audio=self.normalize_audio)
+            normalize_audio=self.normalize_audio,
+            audio_only=self.audio_only, fps=getattr(self, "fps", 25))
 
     def setup(self):
         self.data_train = self._make(self.train_dir, self.segment)

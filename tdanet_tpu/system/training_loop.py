@@ -131,6 +131,19 @@ class AudioTrainer:
                                         mesh=self.mesh)
         self.ckpt = CheckpointManager(self.exp_dir, top_k=3)
         self.history: list[Dict[str, float]] = []
+        # wandb logging, offline-capable and fully optional
+        # (reference: audio_train.py:174-181)
+        self._wandb = None
+        exp = config.get("exp", {})
+        if exp.get("project") and not exp.get("disable_wandb"):
+            try:
+                import wandb
+                mode = "offline" if exp.get("offline", True) else "online"
+                self._wandb = wandb.init(
+                    project=exp["project"], name=exp.get("exp_name"),
+                    config=config, mode=mode, dir=self.exp_dir)
+            except Exception:
+                self._wandb = None
 
     # -- loops -------------------------------------------------------------
 
@@ -208,6 +221,8 @@ class AudioTrainer:
                     row["test_loss"] = self.validate(test_loader)
                 self.history.append(row)
                 print_only(json.dumps(row))
+                if self._wandb is not None:
+                    self._wandb.log(row, step=epoch)
 
                 if self.scheduler is not None and self.epoch_scheduler:
                     lr = self.scheduler.step(val_loss)

@@ -1,0 +1,86 @@
+"""Aux surface: progress UI, profiling, get_layer, AV dataset branch,
+tensor-parallel forward correctness."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tdanet_tpu.utils.get_layer import InversibleInterface, get_layer
+from tdanet_tpu.utils.profiling import count_flops, count_params
+
+
+def test_get_layer():
+    relu = get_layer("ReLU")
+    assert float(relu(jnp.asarray(-1.0))) == 0.0
+    with pytest.raises(NotImplementedError):
+        get_layer("NoSuchLayer")
+    with pytest.raises(NotImplementedError):
+        InversibleInterface().inverse(None)
+
+
+def test_profiling_counts():
+    params = {"w": jnp.ones((4, 4))}
+    assert count_params(params) == 16
+    flops = count_flops(lambda p, x: x @ p["w"], params, jnp.ones((8, 4)))
+    assert flops >= 2 * 8 * 4 * 4 * 0.5  # cost model may count MACs*2
+
+
+def test_progress_ui():
+    from tdanet_tpu.utils.progress import eval_progress
+    progress, col = eval_progress("T")
+    with progress:
+        for _ in progress.track(range(3)):
+            col.update({"si-snr_i": 1.234})
+
+
+def test_av_dataset_branch(tmp_path):
+    from tdanet_tpu.datas import SeparationDataset
+    from tdanet_tpu.utils import write_wav
+    sr, T = 8000, 8000
+    rng = np.random.default_rng(0)
+    infos = {"mix": [], "s1": [], "s2": []}
+    for i in range(2):
+        s1 = rng.standard_normal(T).astype(np.float32) * 0.1
+        s2 = rng.standard_normal(T).astype(np.float32) * 0.1
+        for ch, d in (("mix", s1 + s2), ("s1", s1), ("s2", s2)):
+            p = str(tmp_path / ch / f"u{i}.wav")
+            write_wav(p, d, sr)
+            if ch == "mix":
+                infos[ch].append([p, T])
+            else:
+                mouth = str(tmp_path / ch / f"u{i}.npz")
+                np.savez(mouth, data=rng.standard_normal(
+                    (30, 4, 4)).astype(np.float32))
+                infos[ch].append([p, mouth, T])
+    for ch, lst in infos.items():
+        with open(tmp_path / f"{ch}.json", "w") as f:
+            json.dump(lst, f)
+    ds = SeparationDataset(str(tmp_path), mix_key="mix", segment=0.5,
+                           sample_rate=sr, audio_only=False, fps=25)
+    mix, src, mouths, name = ds[0]
+    assert mix.shape == (4000,)
+    assert src.shape == (2, 4000)
+    assert mouths.shape == (2, 12, 4, 4)  # fps_len = 0.5 * 25
+
+
+def test_tp_sharded_forward_matches_single_device():
+    from tdanet_tpu.models import TDANetBest
+    from tdanet_tpu.parallel import make_mesh, shard_params
+
+    model = TDANetBest(out_channels=64, in_channels=256, num_blocks=2,
+                       upsampling_depth=4, enc_kernel_size=4,
+                       num_sources=2, sample_rate=8000)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 4000)) * 0.1
+    want = np.asarray(model.apply(params, x))
+
+    mesh = make_mesh(dp=2, tp=4, devices=jax.devices()[:8])
+    with mesh:
+        sharded, _ = shard_params(params, mesh)
+        fwd = jax.jit(lambda p, v: model.apply(p, v))
+        got = np.asarray(fwd(sharded, x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
