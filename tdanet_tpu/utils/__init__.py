@@ -22,6 +22,9 @@ from tdanet_tpu.utils.parser import (
     str2bool_arg,
     str_int_float,
 )
+from tdanet_tpu.utils.get_layer import InversibleInterface, get_layer
+from tdanet_tpu.utils.profiling import count_flops, count_params, \
+    profile_model
 from tdanet_tpu.utils.separator import separate
 
 __all__ = [
@@ -30,5 +33,6 @@ __all__ = [
     "print_only", "shape_reconstructed", "tensors_to_device",
     "apply_overrides", "load_yaml", "parse_args_as_dict", "parse_config",
     "prepare_parser_from_dict", "save_yaml", "str2bool", "str2bool_arg",
-    "str_int_float", "separate",
+    "str_int_float", "separate", "InversibleInterface", "get_layer",
+    "count_flops", "count_params", "profile_model",
 ]
