@@ -26,6 +26,8 @@ def main(argv=None):
     p.add_argument("--ckpt_path", default=None)
     p.add_argument("--save_output", default="False")
     p.add_argument("--save_path", default="./separated")
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="bucketed batched eval; 1 = reference behavior")
     args, overrides = p.parse_known_args(argv)
 
     conf = load_yaml(args.conf_dir)
@@ -49,13 +51,21 @@ def main(argv=None):
 
     save = args.save_output.lower() == "true"
     from tdanet_tpu.utils.progress import eval_progress
+    from tdanet_tpu.utils.separator import separate_batched
     progress, metrics_col = eval_progress("Testing")
+    items = [test_set[i] for i in range(len(test_set))]
     with progress:
-        for idx in progress.track(range(len(test_set))):
-            mix, sources, key = test_set[idx]
-            est = separate(model, params, mix)
-            metrics(mix=mix, clean=sources, estimate=np.asarray(est),
-                    key=key)
+        if args.batch_size > 1:
+            ests = separate_batched(model, params,
+                                    [it[0] for it in items],
+                                    batch_size=args.batch_size)
+        else:
+            ests = None
+        for idx in progress.track(range(len(items))):
+            mix, sources, key = items[idx]
+            est = (ests[idx] if ests is not None
+                   else np.asarray(separate(model, params, mix)))
+            metrics(mix=mix, clean=sources, estimate=est, key=key)
             if save:
                 for s in range(est.shape[0]):
                     write_wav(os.path.join(args.save_path, f"s{s + 1}",

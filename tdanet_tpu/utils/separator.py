@@ -14,12 +14,63 @@ import jax.numpy as jnp
 
 @lru_cache(maxsize=64)
 def _compiled_forward(model, length, compute_dtype):
-    def fwd(params, wav):
-        out = model.apply(params, wav, compute_dtype=compute_dtype)
-        # energy renormalization (separator.py:63)
-        scale = jnp.sum(jnp.abs(wav)) / (jnp.sum(jnp.abs(out)) + 1e-8)
-        return out * scale
-    return jax.jit(fwd)
+    return jax.jit(
+        lambda params, wav: model.apply(params, wav,
+                                        compute_dtype=compute_dtype))
+
+
+def separate_batched(model, params, wavs, batch_size=8, compute_dtype=None,
+                     lattice=None):
+    """Batched bucketed separation of variable-length utterances.
+
+    The reference eval loop runs batch=1 with a fresh dynamic shape per
+    utterance (audio_test.py:111-134). Here utterances are grouped into
+    length buckets on the model's stride lattice, padded, and separated
+    ``batch_size`` at a time — each bucket shape compiles once and the
+    MXU stays fed. Returns outputs in the input order, each trimmed to
+    its true length and energy-renormalized per utterance.
+
+    The batch is mapped with ``jax.vmap`` rather than a plain batch axis:
+    the unfixed-MHA models attend over the BATCH axis (the reference
+    checkpoint quirk), so naive batching would leak information across
+    utterances and change results vs the reference's batch=1 eval. vmap
+    keeps exact batch=1 semantics per example while XLA still executes
+    the whole batch in one fused program.
+    """
+    lattice = lattice or getattr(model, "lcm", 1)
+    buckets = {}
+    for i, w in enumerate(wavs):
+        T = int(np.asarray(w).shape[-1])
+        target = -(-T // lattice) * lattice
+        buckets.setdefault(target, []).append(i)
+
+    fwd_cache = {}
+
+    def get_fwd(target):
+        if target not in fwd_cache:
+            fwd_cache[target] = jax.jit(jax.vmap(
+                lambda p, w: model.apply(p, w[None],
+                                         compute_dtype=compute_dtype)[0],
+                in_axes=(None, 0)))
+        return fwd_cache[target]
+
+    outputs = [None] * len(wavs)
+    for target, idxs in sorted(buckets.items()):
+        fwd = get_fwd(target)
+        for s in range(0, len(idxs), batch_size):
+            chunk = idxs[s:s + batch_size]
+            batch = np.zeros((len(chunk), target), np.float32)
+            for row, i in enumerate(chunk):
+                w = np.asarray(wavs[i], np.float32)
+                batch[row, :w.shape[-1]] = w
+            est = np.asarray(fwd(params, jnp.asarray(batch)))
+            for row, i in enumerate(chunk):
+                T = int(np.asarray(wavs[i]).shape[-1])
+                out = est[row, :, :T]
+                scale = (np.abs(wavs[i]).sum()
+                         / (np.abs(out).sum() + 1e-8))
+                outputs[i] = out * scale
+    return outputs
 
 
 def separate(model, params, wav, compute_dtype=None, lattice=None):
@@ -40,6 +91,12 @@ def separate(model, params, wav, compute_dtype=None, lattice=None):
         x = jnp.pad(x, ((0, 0), (0, target - T)))
     fwd = _compiled_forward(model, target, compute_dtype)
     out = fwd(params, x)[..., :T]
+    x = x[..., :T]
+    # per-utterance energy renormalization over the true region
+    # (separator.py:63)
+    scale = jnp.sum(jnp.abs(x), axis=-1)[:, None, None] / (
+        jnp.sum(jnp.abs(out), axis=(-1, -2))[:, None, None] + 1e-8)
+    out = out * scale
     if was_1d:
         out = out[0]
     return np.asarray(out) if is_numpy else out
