@@ -1,0 +1,43 @@
+"""Golden end-to-end: separate the repository's bundled real mixture
+(audio_mix.wav, mono 16 kHz 2 s — the clip inference.py demos on) with
+seeded random weights and match the PyTorch reference sample-by-sample.
+This is the SURVEY §7 'minimum end-to-end slice' acceptance check, run
+on real audio rather than noise."""
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from oracle import load_reference_module, torch_state_dict_to_numpy
+from tdanet_tpu.models import TDANetBest, flat_torch_to_pytree
+from tdanet_tpu.utils import read_wav
+
+WAV = "/root/reference/audio_mix.wav"
+
+
+def test_bundled_mixture_separation_matches_reference():
+    wav, sr = read_wav(WAV)
+    assert sr == 16000
+    ref = load_reference_module("TDANet_best.py")
+    torch.manual_seed(0)
+    cfg = dict(out_channels=128, in_channels=512, num_blocks=4,
+               upsampling_depth=5, enc_kernel_size=4, num_sources=2,
+               sample_rate=16000)
+    tmodel = ref.TDANetBest(**cfg)
+    tmodel.eval()
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(wav)[None]).numpy()
+
+    jmodel = TDANetBest(**cfg)
+    params = flat_torch_to_pytree(torch_state_dict_to_numpy(tmodel))
+    got = np.asarray(jmodel.apply(params, jnp.asarray(wav)[None]))
+    assert got.shape == want.shape == (1, 2, wav.shape[0])
+    # whole-signal SNR criterion (a handful of samples differ in the last
+    # fp32 bits through 4 recurrent blocks; elementwise rtol is the wrong
+    # lens for near-zero audio samples)
+    snr = 10 * np.log10((want ** 2).sum() / ((want - got) ** 2).sum())
+    assert snr > 55.0, f"golden SNR too low: {snr:.1f} dB"
+    # and the 99.9th-percentile absolute error stays tiny
+    err = np.abs(want - got)
+    assert np.quantile(err, 0.999) < 2e-3 * np.abs(want).max()
