@@ -78,6 +78,13 @@ class SeparationDataset:
             sources_infos = [[src[i] for i in keep] for src in sources_infos]
         self.mix = mix_infos
         self.sources = sources_infos
+        if self.drop_utt:
+            from tdanet_tpu.utils.misc import print_only
+            print_only(
+                f"Drop {self.drop_utt} utts"
+                f"({self.drop_len / sample_rate / 3600:.2f} h) from "
+                f"{self.drop_utt + len(mix_infos)} (shorter than "
+                f"{self.seg_len} samples)")
 
     def __len__(self):
         return len(self.mix)

@@ -180,6 +180,20 @@ class BaseModel:
         return model, params
 
 
+def model_list(name_only=False):
+    """Public models with the 'asteroid' tag on the HF hub
+    (base_model.py:73-84). Network-gated: raises a clear error in
+    zero-egress environments."""
+    import requests  # lazy
+    r = requests.get("https://huggingface.co/api/models?full=true"
+                     "&filter=asteroid", timeout=30)
+    r.raise_for_status()
+    all_models = r.json()
+    if name_only:
+        return [x["modelId"] for x in all_models]
+    return all_models
+
+
 def _hub_download(model_id: str) -> str:
     """HF-hub fetch (base_model.py:21-57). Gated: raises a clear error in
     zero-egress environments."""

@@ -527,9 +527,9 @@ class SwinTransformerSys:
                     dpr[sum(depths[:lvl]):sum(depths[:lvl + 1])],
                     upsample=i < self.num_layers - 1))
         if final_upsample == "expand_first":
-            self.up = FinalPatchExpand_X4(
-                (img_size // patch_size, img_size // patch_size),
-                embed_dim, dim_scale)
+            pr0 = self.patch_embed.patches_resolution
+            self.up = FinalPatchExpand_X4((pr0[0], pr0[1]), embed_dim,
+                                          dim_scale)
 
     def init(self, key):
         ks = jax.random.split(key, 4 * self.num_layers + 6)
@@ -595,3 +595,81 @@ class SwinTransformerSys:
                 x, p["output"]["weight"].astype(x.dtype), (1, 1), "VALID",
                 dimension_numbers=("NCHW", "OIHW", "NCHW"))
         return x.reshape(B, self.num_classes, -1)
+
+
+class FinalPatchExpandX4Custom:
+    """Per-axis final expand (swin_unet.py:412-439): dim_scale tuple
+    (p1, p2), expand Linear dim -> p1*p2*dim."""
+
+    def __init__(self, input_resolution, dim, dim_scale=(2, 2)):
+        self.input_resolution, self.dim = input_resolution, dim
+        self.dim_scale = tuple(dim_scale)
+
+    def init(self, key):
+        p1, p2 = self.dim_scale
+        return {"expand": _linear_init(key, self.dim, p1 * p2 * self.dim,
+                                       bias=False),
+                "norm": ops.layer_norm_init(self.dim)}
+
+    def apply(self, p, x):
+        H, W = self.input_resolution
+        p1, p2 = self.dim_scale
+        x = _linear(x, p["expand"])
+        B, L, C = x.shape
+        x = x.reshape(B, H, W, p1, p2, C // (p1 * p2)) \
+            .transpose(0, 1, 3, 2, 4, 5) \
+            .reshape(B, p1 * H * p2 * W, C // (p1 * p2))
+        return ops.layer_norm(x, p["norm"])
+
+
+class SwinTransformerSysCustom(SwinTransformerSys):
+    """Swin-UNet over direct NCHW image input with tuple img/patch sizes
+    and a per-axis final expand (swin_unet.py:824-1073); differs from
+    SwinTransformerSys in skipping the token->sqrt(C)-image reshape and
+    using FinalPatchExpand_X4_Custom with dim_scale = patch_size."""
+
+    def __init__(self, img_size=(224, 224), patch_size=(4, 4), **kwargs):
+        to2 = lambda v: (v, v) if isinstance(v, int) else tuple(v)
+        img_size, patch_size = to2(img_size), to2(patch_size)
+        # base ctor builds everything except the final expand; feed it the
+        # first-axis sizes (the encoder/decoder stages only use the
+        # patches_resolution, computed per-axis by PatchEmbed below)
+        super().__init__(img_size=img_size, patch_size=patch_size, **kwargs)
+        self.patch_size = patch_size
+        if self.final_upsample == "expand_first":
+            pr = self.patch_embed.patches_resolution
+            self.up = FinalPatchExpandX4Custom(
+                (pr[0], pr[1]), self.embed_dim, dim_scale=patch_size)
+
+    def apply(self, p, x, *, training=False, rng=None):
+        B = x.shape[0]
+        x = self.patch_embed.apply(p["patch_embed"], x)
+        if self.ape:
+            x = x + p["absolute_pos_embed"].astype(x.dtype)
+        downs = []
+        for i, layer in enumerate(self.layers):
+            downs.append(x)
+            x = layer.apply(p["layers"][str(i)], x, training=training,
+                            rng=jax.random.fold_in(rng, i)
+                            if rng is not None else None)
+        x = ops.layer_norm(x, p["norm"])
+        for i, layer_up in enumerate(self.layers_up):
+            if i == 0:
+                x = layer_up.apply(p["layers_up"]["0"], x)
+            else:
+                x = jnp.concatenate([x, downs[self.num_layers - 1 - i]], -1)
+                x = _linear(x, p["concat_back_dim"][str(i)])
+                x = layer_up.apply(p["layers_up"][str(i)], x,
+                                   training=training,
+                                   rng=jax.random.fold_in(rng, 50 + i)
+                                   if rng is not None else None)
+        x = ops.layer_norm(x, p["norm_up"])
+        if self.final_upsample == "expand_first":
+            H, W = self.patches_resolution
+            p1, p2 = self.patch_size
+            x = self.up.apply(p["up"], x)
+            x = x.reshape(B, p1 * H, p2 * W, -1).transpose(0, 3, 1, 2)
+            x = jax.lax.conv_general_dilated(
+                x, p["output"]["weight"].astype(x.dtype), (1, 1), "VALID",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        return x

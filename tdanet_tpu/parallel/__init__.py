@@ -1,6 +1,7 @@
 """Parallelism: device meshes, shardings, collectives-by-annotation."""
 
 from tdanet_tpu.parallel.mesh import (
+    initialize_distributed,
     TDANET_TP_RULES,
     batch_sharding,
     make_mesh,
@@ -10,6 +11,7 @@ from tdanet_tpu.parallel.mesh import (
 )
 
 __all__ = [
-    "TDANET_TP_RULES", "batch_sharding", "make_mesh", "param_shardings",
+    "TDANET_TP_RULES", "batch_sharding", "initialize_distributed",
+    "make_mesh", "param_shardings",
     "replicated", "shard_params",
 ]

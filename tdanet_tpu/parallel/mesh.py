@@ -24,6 +24,19 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host orchestration (the reference's torch.distributed/
+    Lightning-DDP process setup, SURVEY.md §2.8): a thin wrapper over
+    jax.distributed.initialize. Safe no-op on a single host."""
+    if num_processes in (None, 1):
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
 def make_mesh(dp: int | None = None, tp: int = 1, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)

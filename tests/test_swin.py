@@ -82,3 +82,23 @@ def test_swin_unet_sys_matches_reference():
     pi = {jax.tree_util.keystr(p): v.shape
           for p, v in jax.tree_util.tree_leaves_with_path(init)}
     assert pt == pi
+
+
+def test_swin_unet_custom_matches_reference():
+    ref = load_reference_module("swin_unet.py")
+    torch.manual_seed(3)
+    kw = dict(img_size=(16, 16), patch_size=(2, 2), in_chans=3,
+              num_classes=5, embed_dim=8, depths=[1, 1, 1, 1],
+              depths_decoder=[1, 1, 1, 1], num_heads=[1, 2, 4, 8],
+              window_size=2)
+    t = ref.SwinTransformerSysCustom(**kw)
+    t.eval()
+    x = torch.randn(2, 3, 16, 16)
+    with torch.no_grad():
+        want = t(x).numpy()
+    j = js.SwinTransformerSysCustom(**kw)
+    params = transfer(t)
+    got = np.asarray(j.apply(params, jnp.asarray(x.numpy())))
+    assert got.shape == want.shape
+    scale = max(np.abs(want).max(), 1e-3)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4 * scale)
