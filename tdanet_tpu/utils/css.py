@@ -29,7 +29,13 @@ def stitch_segments(model, params, segments, overlap_len: int) -> np.ndarray:
     similarities with the previous segment's tails.
     """
     segs = np.stack([np.asarray(s, np.float32) for s in segments])  # (K, L)
-    est = np.asarray(jax.jit(model.apply)(params, jnp.asarray(segs)))
+    # vmap over segments: the unfixed-MHA models attend over the batch
+    # axis, so a plain batched forward would mix segments and diverge from
+    # the reference's one-segment-at-a-time loop (audio_test_css.py:111);
+    # vmap keeps batch=1 semantics while executing all segments fused.
+    fwd = jax.jit(jax.vmap(lambda p, s: model.apply(p, s[None])[0],
+                           in_axes=(None, 0)))
+    est = np.asarray(fwd(params, jnp.asarray(segs)))
     # est: (K, n_src, L)
     K, n_src, L = est.shape
     assert n_src == 2, "reference stitching is defined for 2 sources"
