@@ -60,8 +60,7 @@ def dw_conv(x, p, k, stride=1):
     for j in range(k):
         sl = jax.lax.slice_in_dim(xp, j, j + (L_out - 1) * stride + 1,
                                   stride=stride, axis=1)
-        term = sl * w[None, None, :, 0, j].transpose(0, 1, 3, 2)[0] \
-            if False else sl * w[:, 0, j][None, None, :]
+        term = sl * w[:, 0, j][None, None, :]
         out = term if out is None else out + term
     if "bias" in p:
         out = out + p["bias"].astype(x.dtype)
