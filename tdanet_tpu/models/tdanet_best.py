@@ -12,7 +12,6 @@ from __future__ import annotations
 import math
 
 import jax
-import jax.numpy as jnp
 
 from tdanet_tpu import ops
 from tdanet_tpu.models.base import BaseModel, register_model

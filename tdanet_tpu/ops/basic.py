@@ -8,15 +8,15 @@ flow in torch's (B, C, T) layout; parameters are stored in torch layouts
 checkpoint bridge is a pure dtype cast, no transposes.
 
 Performance notes (TPU): 1x1 convs are lowered to matmuls by XLA; general
-convs use ``lax.conv_general_dilated`` which XLA tiles onto the MXU. The
-separately-optimized channels-last fast path lives in
-``tdanet_tpu.ops.fused`` and is validated against these reference ops.
+convs use ``lax.conv_general_dilated`` which XLA tiles onto the MXU
+(measured faster than hand-written shift-add formulations in this
+layout — see docs/PERF.md). A validated channels-last executor lives in
+``tdanet_tpu.models.tdanet_best_fast``.
 """
 
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -99,10 +99,10 @@ def prelu_init(num_parameters=1, init=0.25, dtype=jnp.float32):
 def conv1d(x, params, *, stride=1, padding=0, dilation=1, groups=1):
     """torch-semantics Conv1d. x: (B, C, T); weight (O, I/g, K).
 
-    Depthwise convs (groups == C_in == C_out) take a shift-multiply-add
-    fast path: XLA's TPU lowering of feature-grouped convolutions is much
-    slower than K strided-slice multiply-adds on the VPU, and the TDANet
-    family is dominated by depthwise k<=5 convs.
+    k=1 depthwise convs (per-channel scales, used pervasively by the LA
+    fusions) skip the conv primitive entirely; XLA's grouped-conv
+    lowering is kept for k>1 (measured faster than shift-add in this
+    layout, docs/PERF.md).
     """
     w = params["weight"].astype(x.dtype)
     O, ig, K = w.shape

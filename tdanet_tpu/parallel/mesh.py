@@ -17,7 +17,6 @@ let XLA do the rest).
 from __future__ import annotations
 
 import re
-from typing import Dict
 
 import jax
 import numpy as np
