@@ -84,3 +84,43 @@ def test_tp_sharded_forward_matches_single_device():
         fwd = jax.jit(lambda p, v: model.apply(p, v))
         got = np.asarray(fwd(sharded, x))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sequence_sharded_input_matches():
+    """Activations sharded along TIME (sequence parallelism via GSPMD):
+    forward with the input sharded P('dp', 'tp') equals unsharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tdanet_tpu.models import TDANetBest
+    from tdanet_tpu.parallel import make_mesh
+
+    model = TDANetBest(out_channels=32, in_channels=64, num_blocks=1,
+                       upsampling_depth=4, enc_kernel_size=4,
+                       num_sources=2, sample_rate=8000)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 4096)) * 0.1
+    want = np.asarray(model.apply(params, x))
+    mesh = make_mesh(dp=2, tp=4, devices=jax.devices()[:8])
+    with mesh:
+        xs = jax.device_put(x, NamedSharding(mesh, P("dp", "tp")))
+        got = np.asarray(jax.jit(model.apply)(params, xs))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_pit_hungarian_4src_jit_and_grad():
+    from tdanet_tpu.losses import PITLossWrapper, pairwise_neg_sisdr
+    wrap = PITLossWrapper(pairwise_neg_sisdr, threshold_byloss=False)
+    key = jax.random.PRNGKey(0)
+    tgt = jax.random.normal(key, (3, 4, 800))
+    perm = jnp.asarray([2, 0, 3, 1])
+    est = tgt[:, perm] + 0.01 * jax.random.normal(
+        jax.random.fold_in(key, 1), (3, 4, 800))
+
+    @jax.jit
+    def loss_fn(e, t):
+        return wrap(e, t)
+
+    loss = float(loss_fn(est, tgt))
+    # best permutation recovers near-perfect alignment -> strongly negative
+    assert loss < -25.0
+    g = jax.grad(loss_fn)(est, tgt)
+    assert np.isfinite(np.asarray(g)).all()
