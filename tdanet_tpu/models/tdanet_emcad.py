@@ -36,6 +36,7 @@ from tdanet_tpu.models.components import (
     FFN,
     LA,
     MultiHeadAttentionModule,
+    Recurrent,
     _fold,
 )
 
@@ -477,6 +478,10 @@ class _EraTDANet(BaseModel):
                 emcad_cls=self.EMCAD_CLS, emcad_kw=self.EMCAD_KW,
                 fusion=self.FUSION, last=self.LAST,
                 emcad_direct=self.EMCAD_DIRECT)
+        # shared-weight recurrence as ONE scanned block (keeps compile
+        # time/program size O(1) in num_blocks, like components.Recurrent)
+        self.sm = Recurrent(out_channels, in_channels, upsampling_depth,
+                            num_blocks, block=self.unet)
 
     def init(self, key):
         ks = jax.random.split(key, 6)
@@ -514,18 +519,7 @@ class _EraTDANet(BaseModel):
         s = x
         x = ops.group_norm1(x, params["ln"])
         x = ops.conv1d(x, params["bottleneck"])
-
-        # plain shared-weight recurrence (Recurrent in every era file)
-        sm = params["sm"]
-        mixture = x
-        x = self.unet.apply(sm["unet"], x, training=training,
-                            rng=_fold(rng, 0))
-        for i in range(1, self.num_blocks):
-            y = ops.conv1d(mixture + x, sm["concat_block"]["0"],
-                           groups=self.out_channels)
-            y = ops.prelu(y, sm["concat_block"]["1"])
-            x = self.unet.apply(sm["unet"], y, training=training,
-                                rng=_fold(rng, i))
+        x = self.sm.apply(params["sm"], x, training=training, rng=rng)
 
         x = ops.prelu(x, params["mask_net"]["0"])
         x = ops.conv1d(x, params["mask_net"]["1"])
