@@ -9,7 +9,13 @@ from tdanet_tpu.models.base import (
     pytree_to_flat_torch,
     register_model,
 )
+from tdanet_tpu.models import attentions, emcad, swin, transxnet, \
+    transxnet2d
+from tdanet_tpu.models.swin import SwinTransformer, SwinTransformerSys, \
+    SwinTransformerSysCustom
 from tdanet_tpu.models.tdanet_best import TDANetBest
+from tdanet_tpu.models.tdanet_best_fast import TDANetBestFast
+from tdanet_tpu.models.transxnet2d import TransXNet2D
 from tdanet_tpu.models.tdanet_emcad import (
     TDANetChannelFusion,
     TDANetDynamicDownsample,
@@ -63,4 +69,7 @@ __all__ = [
     "TDANetEMCADv1_6_noCBAM_laopt4", "TDANetEMCADv1_6_noCBAM_laopt5",
     "TDANetEMCADv1_6_noIDConv", "TDANetEMCADv1_6_noMMLP",
     "TDANetGateOSRA", "TDANetMSFFN", "TDANetTranXNet", "TDANetV2",
+    "attentions", "emcad", "swin", "transxnet", "transxnet2d",
+    "SwinTransformer", "SwinTransformerSys", "SwinTransformerSysCustom",
+    "TDANetBestFast", "TransXNet2D",
 ]
