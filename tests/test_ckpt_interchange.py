@@ -58,3 +58,34 @@ def test_remat_training_grads_match():
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_reference_loads_our_export(tmp_path):
+    """Reverse interchange: a checkpoint exported by THIS framework loads
+    into the PyTorch reference model and produces the same outputs."""
+    from oracle import load_reference_module
+    from tdanet_tpu.system.checkpoint import export_torch_pth
+
+    cfg = dict(out_channels=64, in_channels=128, num_blocks=1,
+               upsampling_depth=4, enc_kernel_size=4, num_sources=2,
+               sample_rate=8000)
+    jmodel = TDANetBest(**cfg)
+    params = jmodel.init(jax.random.PRNGKey(42))
+    path = export_torch_pth(jmodel, params, str(tmp_path / "ours.pth"))
+
+    ref = load_reference_module("TDANet_best.py")
+    tmodel = ref.TDANetBest(**cfg)
+    conf = torch.load(path, map_location="cpu", weights_only=False)
+    missing, unexpected = tmodel.load_state_dict(conf["state_dict"],
+                                                 strict=False)
+    # only regenerated buffers (positional encodings) may be missing
+    assert not unexpected
+    assert all(k.endswith(".pe") for k in missing)
+    tmodel.eval()
+    torch.manual_seed(0)
+    x = torch.randn(2, 4000) * 0.1
+    with torch.no_grad():
+        want = tmodel(x).numpy()
+    got = np.asarray(jmodel.apply(params, jnp.asarray(x.numpy())))
+    snr = 10 * np.log10((want ** 2).sum() / ((want - got) ** 2).sum())
+    assert snr > 40.0, snr
