@@ -38,9 +38,13 @@ def main():
     T = int(sr * seconds)
     mix = jax.random.normal(jax.random.PRNGKey(1), (batch, T), jnp.float32)
 
-    # summing a small slice forces full execution but keeps readback tiny
+    # vmap over utterances: per-utterance (batch=1) semantics — the
+    # reference's eval behavior — at full batched throughput; the
+    # degenerate batch-axis attention collapses to two matmuls.
+    # Summing a small slice forces full execution but keeps readback tiny.
+    single = lambda p, w: model.apply(p, w[None], compute_dtype=dtype)[0]
     fwd = jax.jit(lambda p, x: jnp.sum(
-        model.apply(p, x, compute_dtype=dtype)[:, 0, :8]))
+        jax.vmap(single, in_axes=(None, 0))(p, x)[:, 0, :8]))
     float(fwd(params, mix))  # compile + warm
     float(fwd(params, mix))
 

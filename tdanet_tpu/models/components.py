@@ -202,7 +202,19 @@ class MultiHeadAttentionModule:
         out = out + pe[None]
         drop = self.dropout if training else 0.0
         akey = jax.random.fold_in(rng, 10) if rng is not None else None
-        if self.batch_first:
+        if not self.batch_first and B == 1 and not training:
+            # batch-axis attention over a single element is algebraically
+            # softmax([[0]]) == 1, so attn_out = out_proj(v_proj(x)):
+            # skip q/k projections and the softmax entirely (exact).
+            a = p["attn"]
+            E = C
+            wv = a["in_proj_weight"].astype(out.dtype)[2 * E:]
+            bv = a["in_proj_bias"].astype(out.dtype)[2 * E:]
+            v = out @ wv.T + bv
+            op = a["out_proj"]
+            attn_out = v @ op["weight"].astype(out.dtype).T \
+                + op["bias"].astype(out.dtype)
+        elif self.batch_first:
             # standard attention over T
             o = ops.multi_head_attention(
                 out.transpose(1, 0, 2), out.transpose(1, 0, 2),
