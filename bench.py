@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "24"))
     seconds = float(os.environ.get("BENCH_SECONDS", "2.0"))
     sr = 16000
     dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[
