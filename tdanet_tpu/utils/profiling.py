@@ -31,3 +31,26 @@ def profile_model(model, params, example_input, compute_dtype=None):
         params, example_input)
     return {"params": count_params(params), "flops": flops,
             "macs": flops / 2.0}
+
+
+class trace:
+    """Context manager around jax.profiler.trace (the TPU-native
+    replacement for the reference's commented Lightning AdvancedProfiler,
+    audio_train.py:37,183): writes a TensorBoard-viewable trace.
+
+        with profiling.trace("/tmp/jax-trace"):
+            train_step(...)
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def __enter__(self):
+        import jax.profiler
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax.profiler
+        jax.profiler.stop_trace()
+        return False
