@@ -377,6 +377,13 @@ class EMCADBase:
                  kernel_sizes=(1, 3, 5), expansion_factor=6,
                  dw_parallel=True, add=True, lgag_ks=3, activation="relu",
                  feat_len=None):
+        if len(channels) != 5:
+            # the decoder is hardwired to a 5-stage pyramid (ch[4 - st]
+            # below; the reference shares this implicit constraint) —
+            # fail with a named error instead of an IndexError
+            raise ValueError(
+                "EMCAD decoder requires a 5-stage pyramid "
+                f"(upsampling_depth=5); got {len(channels)} channels")
         self.channels = list(channels)
         ch = self.channels
         mk = dict(kernel_sizes=kernel_sizes,

@@ -451,7 +451,7 @@ class _EraTDANet(BaseModel):
 
     def __init__(self, out_channels=128, in_channels=512, num_blocks=16,
                  upsampling_depth=5, enc_kernel_size=21, num_sources=2,
-                 sample_rate=16000, feat_len=None, **unused):
+                 sample_rate=16000, feat_len=None, remat=False, **unused):
         super().__init__(sample_rate=sample_rate)
         self.out_channels = out_channels
         self.in_channels = in_channels
@@ -481,7 +481,7 @@ class _EraTDANet(BaseModel):
         # shared-weight recurrence as ONE scanned block (keeps compile
         # time/program size O(1) in num_blocks, like components.Recurrent)
         self.sm = Recurrent(out_channels, in_channels, upsampling_depth,
-                            num_blocks, block=self.unet)
+                            num_blocks, block=self.unet, remat=remat)
 
     def init(self, key):
         ks = jax.random.split(key, 6)

@@ -89,8 +89,14 @@ class AudioTrainer:
         # model
         net = config["audionet"]
         sr = config["datamodule"]["data_config"]["sample_rate"]
+        net_conf = dict(net["audionet_config"])
+        # Training defaults to rematerializing the shared-weight
+        # recurrence: without it the full-recipe backward (16 blocks,
+        # batch 8, 3 s) needs ~17 GB of activations and OOMs a 16 GB
+        # v5e chip. Override with audionet_config.remat=false.
+        net_conf.setdefault("remat", True)
         self.model = model_zoo.get(net["audionet_name"])(
-            sample_rate=sr, **net["audionet_config"])
+            sample_rate=sr, **net_conf)
 
         # data
         from tdanet_tpu import datas

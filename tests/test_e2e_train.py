@@ -39,6 +39,9 @@ def test_train_checkpoints_and_exports(debug_config):
 
     mesh = make_mesh(dp=2, tp=1, devices=jax.devices()[:2])
     trainer = AudioTrainer(debug_config, mesh=mesh)
+    # training must rematerialize the shared-weight recurrence (the
+    # full recipe OOMs a 16 GB chip otherwise; docs/PERF.md)
+    assert trainer.model.sm.remat
     history = trainer.fit()
     assert len(history) == 2
     assert np.isfinite(history[-1]["val_loss"])
