@@ -51,27 +51,36 @@ def main(argv=None):
 
     save = args.save_output.lower() == "true"
     from tdanet_tpu.utils.progress import eval_progress
-    from tdanet_tpu.utils.separator import separate_batched
+    from tdanet_tpu.utils.separator import separate_batched_stream
     progress, metrics_col = eval_progress("Testing")
-    items = [test_set[i] for i in range(len(test_set))]
+
+    def emit(done, mix, sources, key, est):
+        metrics(mix=mix, clean=sources, estimate=est, key=key)
+        if save:
+            for s in range(est.shape[0]):
+                write_wav(os.path.join(args.save_path, f"s{s + 1}",
+                                       key), np.asarray(est[s]), sr)
+        if done % 50 == 0:
+            metrics_col.update(metrics.update())
+
     with progress:
         if args.batch_size > 1:
-            ests = separate_batched(model, params,
-                                    [it[0] for it in items],
-                                    batch_size=args.batch_size)
+            # streaming pipeline: wav IO prefetches on a thread and
+            # metrics/wav-dump host work overlaps the next batch's
+            # device compute (one-deep dispatch pipeline)
+            lengths = [test_set.mix[i][1] for i in range(len(test_set))]
+            stream = separate_batched_stream(
+                model, params, lengths, lambda i: test_set[i],
+                batch_size=args.batch_size)
+            for done, (_, item, est) in enumerate(
+                    progress.track(stream, total=len(test_set))):
+                mix, sources, key = item
+                emit(done, mix, sources, key, est)
         else:
-            ests = None
-        for idx in progress.track(range(len(items))):
-            mix, sources, key = items[idx]
-            est = (ests[idx] if ests is not None
-                   else np.asarray(separate(model, params, mix)))
-            metrics(mix=mix, clean=sources, estimate=est, key=key)
-            if save:
-                for s in range(est.shape[0]):
-                    write_wav(os.path.join(args.save_path, f"s{s + 1}",
-                                           key), np.asarray(est[s]), sr)
-            if idx % 50 == 0:
-                metrics_col.update(metrics.update())
+            for idx in progress.track(range(len(test_set))):
+                mix, sources, key = test_set[idx]
+                est = np.asarray(separate(model, params, mix))
+                emit(idx, mix, sources, key, est)
     final = metrics.final()
     print("final:", final)
     return final

@@ -100,3 +100,90 @@ def separate(model, params, wav, compute_dtype=None, lattice=None):
     if was_1d:
         out = out[0]
     return np.asarray(out) if is_numpy else out
+
+
+def separate_batched_stream(model, params, lengths, get_item,
+                            batch_size=8, compute_dtype=None, lattice=None,
+                            prefetch=2):
+    """Streaming variant of :func:`separate_batched` for eval pipelines.
+
+    Same bucketed vmap semantics, but audio IO overlaps device compute
+    (the reference eval loop — audio_test.py:111-134 — serializes
+    load/forward/metrics per utterance):
+
+    - ``lengths[i]`` gives utterance i's sample count WITHOUT loading it
+      (manifests carry lengths), so buckets are planned upfront;
+    - a reader thread prefetches ``get_item(i)`` in processing order,
+      ``prefetch`` batches ahead;
+    - the device pipeline is one batch deep: batch k+1 is dispatched
+      before batch k's result is materialized, so host-side metric/IO
+      work on batch k runs while the chip executes batch k+1.
+
+    Yields ``(i, item, est)`` in bucket processing order, where ``est``
+    is the trimmed, energy-renormalized (n_src, T_i) numpy estimate and
+    ``item`` is whatever ``get_item`` returned (its first element must
+    be the mixture waveform).
+    """
+    import queue as _queue
+    import threading
+
+    lattice = lattice or getattr(model, "lcm", 1)
+    n = len(lengths)
+    buckets = {}
+    for i in range(n):
+        target = -(-int(lengths[i]) // lattice) * lattice
+        buckets.setdefault(target, []).append(i)
+    plan = []  # (target, [idx, ...]) per dispatched batch
+    for target, idxs in sorted(buckets.items()):
+        for s in range(0, len(idxs), batch_size):
+            plan.append((target, idxs[s:s + batch_size]))
+
+    q = _queue.Queue(maxsize=max(1, prefetch) * batch_size)
+
+    def reader():
+        for target, chunk in plan:
+            for i in chunk:
+                q.put((i, get_item(i)))
+        q.put(None)
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+
+    fwd_cache = {}
+
+    def get_fwd(target):
+        if target not in fwd_cache:
+            fwd_cache[target] = jax.jit(jax.vmap(
+                lambda p, w: model.apply(p, w[None],
+                                         compute_dtype=compute_dtype)[0],
+                in_axes=(None, 0)))
+        return fwd_cache[target]
+
+    def materialize(pending):
+        target, chunk, items, est_dev = pending
+        est = np.asarray(est_dev, np.float32)
+        for row, i in enumerate(chunk):
+            mix = np.asarray(items[row][0], np.float32)
+            T = mix.shape[-1]
+            out = est[row, :, :T]
+            scale = np.abs(mix).sum() / (np.abs(out).sum() + 1e-8)
+            yield i, items[row], out * scale
+
+    pending = None
+    for target, chunk in plan:
+        items = []
+        for _ in chunk:
+            got = q.get()
+            assert got is not None
+            items.append(got[1])
+        batch = np.zeros((len(chunk), target), np.float32)
+        for row, it in enumerate(items):
+            w = np.asarray(it[0], np.float32)
+            batch[row, :w.shape[-1]] = w
+        est_dev = get_fwd(target)(params, jnp.asarray(batch))  # async
+        if pending is not None:
+            yield from materialize(pending)
+        pending = (target, chunk, items, est_dev)
+    if pending is not None:
+        yield from materialize(pending)
+    t.join()

@@ -23,3 +23,29 @@ def test_batched_matches_single():
         assert b.shape == (2, w.shape[-1])
         # same bucket length -> identical math modulo fp reassociation
         np.testing.assert_allclose(b, s, rtol=1e-3, atol=1e-4)
+
+
+def test_streaming_matches_batched():
+    """separate_batched_stream: same outputs as separate_batched, yielded
+    in bucket order with IO/compute overlap (audio_test.py's fast path)."""
+    from tdanet_tpu.utils.separator import separate_batched_stream
+    model = TDANetBest(out_channels=64, in_channels=128, num_blocks=1,
+                       upsampling_depth=4, enc_kernel_size=4,
+                       num_sources=2, sample_rate=8000)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    wavs = [rng.standard_normal(T).astype(np.float32) * 0.1
+            for T in (4000, 4100, 5000, 4000, 8000, 4096)]
+    want = separate_batched(model, params, wavs, batch_size=3)
+    got = {}
+    loads = []
+    for i, item, est in separate_batched_stream(
+            model, params, [w.shape[-1] for w in wavs],
+            lambda i: (wavs[i], None, f"utt{i}"), batch_size=3):
+        assert item[2] == f"utt{i}"
+        loads.append(i)
+        got[i] = est
+    assert sorted(loads) == list(range(len(wavs)))
+    for i, w in enumerate(wavs):
+        assert got[i].shape == (2, w.shape[-1])
+        np.testing.assert_allclose(got[i], want[i], rtol=1e-5, atol=1e-6)
