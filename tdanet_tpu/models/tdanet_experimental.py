@@ -262,3 +262,30 @@ class UConvBlockV1:
             expanded = self.last_layer[i].apply(p["last_layer"][str(i)],
                                                 x_fused[i], other)
         return ops.conv1d(expanded, p["res_conv"]) + residual
+
+
+class YangConvEncoder:
+    """TDANet_yang.py's unused multi-kernel front end (:309-328): three
+    parallel Conv1d banks of kernel k*base_ks, stride base_ks//2, each
+    emitting base_ks//2+1 channels, channel-concatenated. Distinct from
+    the MultRes encoder (stride base_ks//4, out_channels param)."""
+
+    def __init__(self, enc_kernel_size, sample_rate, kernels=3, bias=False):
+        self.base_ks = enc_kernel_size * sample_rate // 1000
+        self.kernels = kernels
+        self.bias = bias
+
+    def init(self, key):
+        ks = jax.random.split(key, self.kernels)
+        return {"conv_list": {
+            str(k - 1): ops.conv1d_init(
+                ks[k - 1], 1, self.base_ks // 2 + 1, k * self.base_ks,
+                bias=self.bias)
+            for k in range(1, self.kernels + 1)}}
+
+    def apply(self, p, x):
+        embs = [ops.conv1d(x, p["conv_list"][str(k - 1)],
+                           stride=self.base_ks // 2,
+                           padding=(k * self.base_ks) // 2)
+                for k in range(1, self.kernels + 1)]
+        return jnp.concatenate(embs, axis=1)

@@ -80,3 +80,13 @@ def test_uconvblock_v1():
     check(tx.UConvBlockV1(out_channels=16, in_channels=32,
                           upsampling_depth=4), t, lambda: t(x),
           jnp.asarray(x.numpy()))
+
+
+def test_yang_conv_encoder():
+    ref = load_reference_module("TDANet_yang.py")
+    torch.manual_seed(5)
+    t = ref.ConvEncoder(enc_kernel_size=4, sample_rate=8000, kernels=3)
+    x = torch.randn(2, 1, 4000)
+    check(tx.YangConvEncoder(enc_kernel_size=4, sample_rate=8000,
+                             kernels=3), t, lambda: t(x),
+          jnp.asarray(x.numpy()))
