@@ -24,13 +24,15 @@ import jax.numpy as jnp
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "24"))
     seconds = float(os.environ.get("BENCH_SECONDS", "2.0"))
+    blocks = int(os.environ.get("BENCH_BLOCKS", "16"))  # <16: CI/CPU only
     sr = 16000
     dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[
         os.environ.get("BENCH_DTYPE", "bf16")]
 
     from tdanet_tpu.models import TDANetBest
 
-    model = TDANetBest(out_channels=128, in_channels=512, num_blocks=16,
+    model = TDANetBest(out_channels=128, in_channels=512,
+                       num_blocks=blocks,
                        upsampling_depth=5, enc_kernel_size=4, num_sources=2,
                        sample_rate=sr)
     params = model.init(jax.random.PRNGKey(0))
