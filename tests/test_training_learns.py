@@ -52,6 +52,29 @@ def test_loss_decreases_on_synthetic_task():
     assert loss1 < loss0 - 3.0, (loss0, loss1)
 
 
+def test_hungarian_pit_under_dp_mesh():
+    """n_src=4 routes PIT through the Hungarian jax.pure_callback
+    (losses/pit.py); run it inside a dp-sharded jitted TRAIN step on the
+    8-device mesh to prove host callbacks survive GSPMD partitioning
+    (reference: look2hear/losses/pit_wrapper.py:133-142 under DDP)."""
+    model = TDANetBest(out_channels=32, in_channels=64, num_blocks=1,
+                       upsampling_depth=4, enc_kernel_size=4,
+                       num_sources=4, sample_rate=8000)
+    opt = make_optimizer("adam", lr=1e-3, grad_clip=5.0)
+    loss_fn = PITLossWrapper(pairwise_neg_snr, pit_from="pw_mtx",
+                             threshold_byloss=True)
+    mesh = make_mesh(dp=8, tp=1, devices=jax.devices()[:8])
+    with mesh:
+        state = create_train_state(model, opt, jax.random.PRNGKey(0),
+                                   mesh=mesh)
+        step = make_train_step(model, loss_fn, opt, mesh=mesh)
+        mix, src2 = make_batch(jax.random.PRNGKey(7), B=8, T=2000)
+        src = jnp.concatenate([src2, 0.5 * src2], axis=1)  # (B, 4, T)
+        mix = src.sum(1)
+        state, loss = step(state, mix, src, jax.random.PRNGKey(8))
+        assert np.isfinite(float(loss))
+
+
 def test_dp_gradients_match_single_device():
     model = TDANetBest(out_channels=32, in_channels=64, num_blocks=1,
                        upsampling_depth=4, enc_kernel_size=4,
