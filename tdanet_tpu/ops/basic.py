@@ -191,11 +191,22 @@ def prelu(x, params):
 
 def glob_ln(x, params, *, eps=1e-8):
     """Global LayerNorm over all non-batch dims (TDANet_best.py:47-64):
-    normalize over (C, T) jointly, then per-channel affine."""
+    normalize over (C, T) jointly, then per-channel affine.
+
+    Stats are one-pass (E[x], E[x^2] reduced together in f32, var =
+    E[x^2] - E[x]^2): both reductions fuse into the producer so the
+    tensor is read once, vs the sequential mean-then-var formulation
+    whose var pass cannot start before the mean is known. f32
+    accumulation keeps the cancellation error ~1e-7 relative — far
+    inside the checkpoint-fidelity tolerances."""
     dims = tuple(range(1, x.ndim))
-    mean = jnp.mean(x, axis=dims, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=dims, keepdims=True)
-    normed = (x - mean) / jnp.sqrt(var + eps)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=dims, keepdims=True)
+    sq = jnp.mean(jnp.square(xf), axis=dims, keepdims=True)
+    var = jnp.maximum(sq - jnp.square(mean), 0.0)
+    scale = jax.lax.rsqrt(var + eps).astype(x.dtype)
+    mean = mean.astype(x.dtype)
+    normed = (x - mean) * scale
     gamma = params["gamma"].astype(x.dtype)[None, :, None]
     beta = params["beta"].astype(x.dtype)[None, :, None]
     return gamma * normed + beta
@@ -206,9 +217,12 @@ def group_norm1(x, params, *, eps=1e-8):
     torch's eps placement (var + eps inside rsqrt, identical) — used by most
     non-Best variants (TDANet.py:59-60). Weight/bias keys follow torch."""
     dims = tuple(range(1, x.ndim))
-    mean = jnp.mean(x, axis=dims, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=dims, keepdims=True)
-    normed = (x - mean) * lax.rsqrt(var + eps)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=dims, keepdims=True)
+    sq = jnp.mean(jnp.square(xf), axis=dims, keepdims=True)
+    var = jnp.maximum(sq - jnp.square(mean), 0.0)
+    scale = lax.rsqrt(var + eps).astype(x.dtype)
+    normed = (x - mean.astype(x.dtype)) * scale
     w = params["weight"].astype(x.dtype)[None, :, None]
     b = params["bias"].astype(x.dtype)[None, :, None]
     return w * normed + b
@@ -267,12 +281,34 @@ def adaptive_avg_pool1d(x, out_size: int):
 
 def interpolate_nearest(x, out_size: int):
     """torch F.interpolate(mode='nearest') on the last axis:
-    out[i] = in[floor(i * L_in / L_out)] (used by LA, TDANet_best.py:286-289)."""
+    out[i] = in[floor(i * L_in / L_out)] (used by LA, TDANet_best.py:286-289).
+
+    TPU-shaped lowering (all three branches select identical elements —
+    bit-exact vs the gather):
+    - out == 2*L: floor(i*L/out) == i//2 exactly -> broadcast-repeat,
+      which XLA fuses into elementwise consumers instead of
+      materializing a gathered tensor (profiled at 0.16 ms per
+      (24,512,126)->(24,512,2010) gather, ~35% of UConvBlock time);
+    - small L: one-hot (L, out) matmul — rides the MXU; exact because
+      each output column has a single 1 (x*1 summed over one term);
+    - otherwise: gather fallback.
+    """
     L = x.shape[-1]
     if L == out_size:
         return x
     idx = np.floor(np.arange(out_size) * (L / out_size)).astype(np.int64)
     idx = np.minimum(idx, L - 1)
+    k = -(-out_size // L)  # ceil ratio
+    if k >= 2 and np.array_equal(idx, np.arange(out_size) // k):
+        # e.g. 1005->2010 (exact x2) or 503->1005 (x2 then truncate):
+        # the floor indexing degenerates to plain repetition
+        rep = jnp.broadcast_to(x[..., None], x.shape + (k,))
+        rep = rep.reshape(x.shape[:-1] + (L * k,))
+        return rep[..., :out_size] if L * k != out_size else rep
+    if L <= 256:
+        onehot = np.zeros((L, out_size), np.float32)
+        onehot[idx, np.arange(out_size)] = 1.0
+        return x @ jnp.asarray(onehot, x.dtype)
     return jnp.take(x, jnp.asarray(idx), axis=-1)
 
 
