@@ -60,6 +60,20 @@ def main():
 
     audio_seconds = batch * seconds
     rtfx = audio_seconds / dt
+
+    # Secondary figure (stderr; stdout stays one JSON line for the
+    # driver): achieved HBM bandwidth vs the v5e's ~819 GB/s, from the
+    # measured per-block traffic model in docs/PERF.md (~15 passes over
+    # the scale-pyramid's ~190 MB of bf16 activations per block at
+    # B=24 — the separator is memory-bound, so this tracks regressions).
+    frames = int(sr * seconds) // (model.enc_kernel_size // 4) + 1
+    scale_bytes = sum(batch * 512 * max(frames >> s, 1) * 2
+                      for s in range(model.upsampling_depth))
+    approx_gb = 15 * scale_bytes * blocks / 1e9
+    bw = approx_gb / dt
+    print(f"approx HBM traffic {approx_gb:.1f} GB/fwd, achieved "
+          f"{bw:.0f} GB/s = {bw / 819:.0%} of v5e peak", file=sys.stderr)
+
     print(json.dumps({
         "metric": "rtfx_tdanet_best_16k_2s",
         "value": round(rtfx, 2),
