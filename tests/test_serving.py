@@ -4,7 +4,7 @@ import numpy as np
 import jax
 
 from tdanet_tpu.models import TDANetBest
-from tdanet_tpu.serving import StreamingSeparator
+from tdanet_tpu.serving import MultiStreamSeparator, StreamingSeparator
 from tdanet_tpu.utils.css import stitch_segments
 
 SR = 8000
@@ -58,6 +58,102 @@ def test_streaming_matches_offline_stitcher():
     got = np.concatenate(outs, axis=1)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-3, atol=1e-4)
+
+
+def test_multistream_matches_single_stream():
+    """N concurrent streams through one batched dispatch produce exactly
+    what each would produce through its own StreamingSeparator (vmap
+    keeps batch=1 semantics; stitch state is per-stream)."""
+    model, params = build()
+    rng = np.random.default_rng(1)
+    n_streams, T = 3, int(SR * 2.6)
+    wavs = [(rng.standard_normal(T) * 0.1).astype(np.float32)
+            for _ in range(n_streams)]
+
+    multi = MultiStreamSeparator(model, params, max_streams=4,
+                                 segment=1.0, overlap=0.25, sample_rate=SR)
+    got = {i: [] for i in range(n_streams)}
+    for i, w in enumerate(wavs):
+        multi.open(i)
+    # interleaved pushes of uneven chunk sizes, stepping as we go
+    pos = [0] * n_streams
+    sizes = (1000, 3777, 5000, 200, 9000, T)
+    for k, size in enumerate(sizes):
+        for i, w in enumerate(wavs):
+            if pos[i] < T:
+                chunk = w[pos[i]:pos[i] + size + 531 * i]
+                pos[i] += len(chunk)
+                multi.push(i, chunk)
+        while True:
+            out = multi.step()
+            if not out:
+                break
+            for i, o in out.items():
+                got[i].append(o)
+    for i in range(n_streams):
+        got[i].append(multi.flush(i))
+
+    for i, w in enumerate(wavs):
+        single = StreamingSeparator(model, params, segment=1.0,
+                                    overlap=0.25, sample_rate=SR)
+        want = np.concatenate([single.push(w), single.flush()], axis=1)
+        have = np.concatenate(got[i], axis=1)
+        assert have.shape == want.shape
+        np.testing.assert_allclose(have, want, rtol=1e-4, atol=1e-5)
+
+
+def test_multistream_int16_emission():
+    """emit_dtype='int16' returns device-quantized PCM equal to the f32
+    path within one quantization step, with identical stitching."""
+    model, params = build()
+    rng = np.random.default_rng(2)
+    T = int(SR * 1.8)
+    w = (rng.standard_normal(T) * 0.05).astype(np.float32)
+
+    outs = {}
+    for dt in ("float32", "int16"):
+        m = MultiStreamSeparator(model, params, max_streams=2, segment=1.0,
+                                 overlap=0.25, sample_rate=SR,
+                                 emit_dtype=dt)
+        m.open(0)
+        m.push(0, w)
+        parts = []
+        while True:
+            o = m.step()
+            if not o:
+                break
+            parts.append(o[0])
+        parts.append(m.flush(0))
+        outs[dt] = np.concatenate(parts, axis=1)
+    assert outs["int16"].dtype == np.int16
+    got = outs["int16"].astype(np.float32) / 32767.0
+    np.testing.assert_allclose(got, np.clip(outs["float32"], -1, 1),
+                               atol=1.0 / 32767.0)
+
+
+def test_multistream_overflow_and_capacity():
+    model, params = build()
+    multi = MultiStreamSeparator(model, params, max_streams=2,
+                                 segment=1.0, overlap=0.25, sample_rate=SR)
+    multi.open("a")
+    multi.open("b")
+    try:
+        multi.open("c")
+        assert False, "expected capacity error"
+    except ValueError:
+        pass
+    # a backlog of several segments drains over repeated steps
+    multi.push("a", np.zeros(SR * 3, np.float32))
+    total = 0
+    while True:
+        out = multi.step()
+        if not out:
+            break
+        total += out["a"].shape[1]
+    assert total > 0
+    multi.flush("a")
+    multi.flush("b")
+    assert multi._streams == {}
 
 
 def test_streaming_incremental_latency():
