@@ -54,6 +54,20 @@ def load_library():
     lib.tdanet_loader_destroy.argtypes = [ctypes.c_void_p]
     lib.tdanet_wav_frames.restype = ctypes.c_int64
     lib.tdanet_wav_frames.argtypes = [ctypes.c_char_p]
+    lib.tdanet_loader_create_av.restype = ctypes.c_void_p
+    lib.tdanet_loader_create_av.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+    lib.tdanet_loader_next_av.restype = ctypes.c_int
+    lib.tdanet_loader_next_av.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
+    lib.tdanet_npz_mouth_dims.restype = ctypes.c_int
+    lib.tdanet_npz_mouth_dims.argtypes = [ctypes.c_char_p,
+                                          ctypes.POINTER(ctypes.c_int64)]
     _LIB = lib
     return lib
 
@@ -89,11 +103,34 @@ class NativeLoader:
 
         MixArr = ctypes.c_char_p * len(mix_paths)
         SrcArr = ctypes.c_char_p * len(src_paths)
-        self._handle = lib.tdanet_loader_create(
-            MixArr(*mix_paths), SrcArr(*src_paths),
-            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            len(mix_paths), self.n_src, self.seg, batch_size,
-            1 if shuffle else 0, seed, num_workers, prefetch)
+        # AV branch (lrs2datamodule.py:180-247): source manifests carry a
+        # mouth .npz at index 1; the C++ side reads npz/npy natively
+        self.audio_only = getattr(dataset, "audio_only", True)
+        if not self.audio_only:
+            mouth_paths = []
+            for i in range(len(dataset.mix)):
+                for s in range(self.n_src):
+                    mouth_paths.append(dataset.sources[s][i][1].encode())
+            dims = (ctypes.c_int64 * 3)()
+            if not lib.tdanet_npz_mouth_dims(mouth_paths[0], dims):
+                raise RuntimeError(
+                    f"cannot probe mouth npz {mouth_paths[0]!r}")
+            self.fps_len = int(dataset.fps_len)
+            self.mh, self.mw = int(dims[1]), int(dims[2])
+            MouthArr = ctypes.c_char_p * len(mouth_paths)
+            self._handle = lib.tdanet_loader_create_av(
+                MixArr(*mix_paths), SrcArr(*src_paths),
+                MouthArr(*mouth_paths),
+                lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(mix_paths), self.n_src, self.seg, batch_size,
+                1 if shuffle else 0, seed, num_workers, prefetch,
+                self.fps_len, self.mh, self.mw)
+        else:
+            self._handle = lib.tdanet_loader_create(
+                MixArr(*mix_paths), SrcArr(*src_paths),
+                lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(mix_paths), self.n_src, self.seg, batch_size,
+                1 if shuffle else 0, seed, num_workers, prefetch)
 
     def __len__(self):
         return int(self._lib.tdanet_loader_n_batches(self._handle))
@@ -103,16 +140,26 @@ class NativeLoader:
             self._lib.tdanet_loader_start_epoch(self._handle, self.epoch)
         self.epoch += 1
         B, S, n = self.batch_size, self.seg, self.n_src
+        fp = ctypes.POINTER(ctypes.c_float)
         while True:
             mix = np.empty((B, S), np.float32)
             src = np.empty((B, n, S), np.float32)
-            ok = self._lib.tdanet_loader_next(
-                self._handle,
-                mix.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
-            if not ok:
-                break
-            yield mix, src, [""] * B
+            if self.audio_only:
+                ok = self._lib.tdanet_loader_next(
+                    self._handle, mix.ctypes.data_as(fp),
+                    src.ctypes.data_as(fp))
+                if not ok:
+                    break
+                yield mix, src, [""] * B
+            else:
+                mouth = np.empty((B, n, self.fps_len, self.mh, self.mw),
+                                 np.float32)
+                ok = self._lib.tdanet_loader_next_av(
+                    self._handle, mix.ctypes.data_as(fp),
+                    src.ctypes.data_as(fp), mouth.ctypes.data_as(fp))
+                if not ok:
+                    break
+                yield mix, src, mouth, [""] * B
 
     def __del__(self):
         if getattr(self, "_handle", None):
