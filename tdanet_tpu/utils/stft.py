@@ -219,6 +219,91 @@ def inverse_stft(transform, kernel, window, *, return_polar=False,
     return wav / (denorm + eps)
 
 
+def pytorch_stft(wav, frame_len, frame_hop, n_fft=512, *, return_polar=False,
+                 window=None, normalized=False, onesided=True, center=False,
+                 eps=EPSILON):
+    """torch.stft framing mode (stft.py:369-425, `_pytorch_stft`).
+
+    Mirrors torch.stft semantics: window centered-padded to n_fft,
+    optional reflect center pad of n_fft//2, rfft per frame, and
+    1/sqrt(n_fft) scaling when normalized. wav (N, S) or (N, C, S) ->
+    (N, (C), F, T, 2).
+    """
+    wav_dim = wav.ndim
+    if wav_dim not in (2, 3):
+        raise RuntimeError(f"STFT expect 2D/3D tensor, but got {wav_dim}D")
+    x = wav.reshape(-1, wav.shape[-1])
+    if center:
+        pad = n_fft // 2
+        x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    win = np.asarray(window, np.float32)
+    lpad = (n_fft - win.shape[-1]) // 2
+    win = np.pad(win, (lpad, n_fft - win.shape[-1] - lpad))
+    T = (x.shape[-1] - n_fft) // frame_hop + 1
+    idx = np.arange(T)[:, None] * frame_hop + np.arange(n_fft)[None, :]
+    frames = x[:, jnp.asarray(idx)] * jnp.asarray(win)   # (NC, T, W)
+    spec = jnp.fft.rfft(frames, n_fft, axis=-1) if onesided \
+        else jnp.fft.fft(frames, n_fft, axis=-1)
+    if normalized:
+        spec = spec * (n_fft ** -0.5)
+    # (NC, T, F) -> (NC, F, T, 2)
+    out = jnp.stack([spec.real, spec.imag], axis=-1).swapaxes(-3, -2)
+    out = out.astype(wav.dtype)
+    if wav_dim == 3:
+        # reference quirk (stft.py:415-417): it unpacks N AFTER folding
+        # channels, so 3D input yields (N*C, 1, F, T, 2), not (N, C, ...)
+        out = out.reshape((out.shape[0], -1) + out.shape[1:])
+    if not return_polar:
+        return out
+    real, imag = out[..., 0], out[..., 1]
+    mag = (real ** 2 + imag ** 2 + eps) ** 0.5
+    pha = jnp.arctan2(imag, real)
+    return jnp.stack([mag, pha], axis=-1)
+
+
+def pytorch_istft(transform, frame_len, frame_hop, window, n_fft=512, *,
+                  return_polar=False, normalized=False, onesided=True,
+                  center=False, eps=EPSILON):
+    """torch.istft framing mode (stft.py:428-483, `_pytorch_istft`).
+
+    Overlap-add of windowed irfft frames normalized by the window-square
+    envelope (torch.istft asserts NOLA; we clamp by eps). transform
+    (N, F, T, 2) or (F, T, 2) -> (N, S).
+    """
+    tdim = transform.ndim
+    if tdim == 3:
+        transform = transform[None]
+    elif tdim != 4:
+        raise RuntimeError(f"Expect 4D tensor, but got {tdim}D")
+    if return_polar:
+        real = transform[..., 0] * jnp.cos(transform[..., 1])
+        imag = transform[..., 0] * jnp.sin(transform[..., 1])
+    else:
+        real, imag = transform[..., 0], transform[..., 1]
+    spec = (real + 1j * imag).swapaxes(-2, -1)           # (N, T, F)
+    if normalized:
+        spec = spec * (n_fft ** 0.5)
+    if onesided:
+        frames = jnp.fft.irfft(spec, n_fft, axis=-1)
+    else:
+        frames = jnp.fft.ifft(spec, n_fft, axis=-1).real
+    win = np.asarray(window, np.float32)
+    lpad = (n_fft - win.shape[-1]) // 2
+    win = np.pad(win, (lpad, n_fft - win.shape[-1] - lpad))
+    frames = frames * jnp.asarray(win)
+    N, T = frames.shape[0], frames.shape[1]
+    S = (T - 1) * frame_hop + n_fft
+    idx = np.arange(T)[:, None] * frame_hop + np.arange(n_fft)[None, :]
+    wav = jnp.zeros((N, S), frames.dtype).at[:, jnp.asarray(idx)].add(frames)
+    win_sq = np.zeros((S,), np.float32)
+    np.add.at(win_sq, idx.reshape(-1), np.tile(win ** 2, T))
+    wav = wav / jnp.asarray(np.maximum(win_sq, 1e-11))
+    if center:
+        pad = n_fft // 2
+        wav = wav[:, pad:S - pad]
+    return wav.astype(transform.dtype)
+
+
 class STFTBase:
     """(i)STFT layer (stft.py:622-710)."""
 
@@ -226,13 +311,23 @@ class STFTBase:
                  round_pow_of_two=True, normalized=False, pre_emphasis=0.0,
                  onesided=True, inverse=False, center=False,
                  mode="librosa"):
-        self.K, self.w = init_kernel(
-            frame_len, frame_hop, init_window(window, frame_len),
-            round_pow_of_two=round_pow_of_two, normalized=normalized,
-            inverse=inverse, mode=mode)
-        self.num_bins = self.K.shape[0] // 4 + 1
-        self.pre_emphasis = pre_emphasis
-        self.win_length = self.K.shape[2]
+        if mode == "torch":
+            # stft.py:668-677: no conv kernel; win_length is the fft size
+            self.K = None
+            self.w = init_window(window, frame_len)
+            fft_size = 2 ** math.ceil(math.log2(frame_len)) \
+                if round_pow_of_two else frame_len
+            self.num_bins = fft_size // 2 + 1
+            self.pre_emphasis = 0.0
+            self.win_length = fft_size
+        else:
+            self.K, self.w = init_kernel(
+                frame_len, frame_hop, init_window(window, frame_len),
+                round_pow_of_two=round_pow_of_two, normalized=normalized,
+                inverse=inverse, mode=mode)
+            self.num_bins = self.K.shape[0] // 4 + 1
+            self.pre_emphasis = pre_emphasis
+            self.win_length = self.K.shape[2]
         self.frame_len, self.frame_hop = frame_len, frame_hop
         self.window = window
         self.normalized = normalized
@@ -252,6 +347,12 @@ class STFT(STFTBase):
         super().__init__(*args, inverse=False, **kwargs)
 
     def __call__(self, wav, return_polar=False, eps=EPSILON):
+        if self.mode == "torch":
+            return pytorch_stft(
+                wav, self.frame_len, self.frame_hop,
+                n_fft=(self.num_bins - 1) * 2, return_polar=return_polar,
+                window=self.w, normalized=self.normalized,
+                onesided=self.onesided, center=self.center, eps=eps)
         return forward_stft(
             wav, self.K, self.w, return_polar=return_polar,
             frame_hop=self.frame_hop, pre_emphasis=self.pre_emphasis,
@@ -263,6 +364,12 @@ class iSTFT(STFTBase):
         super().__init__(*args, inverse=True, **kwargs)
 
     def __call__(self, transform, return_polar=False, eps=EPSILON):
+        if self.mode == "torch":
+            return pytorch_istft(
+                transform, self.frame_len, self.frame_hop, self.w,
+                n_fft=(self.num_bins - 1) * 2, return_polar=return_polar,
+                normalized=self.normalized, onesided=self.onesided,
+                center=self.center, eps=eps)
         return inverse_stft(
             transform, self.K, self.w, return_polar=return_polar,
             frame_hop=self.frame_hop, onesided=self.onesided,

@@ -103,6 +103,58 @@ def test_istft_matches_reference():
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("polar,normalized,channels",
+                         [(False, False, None), (True, True, 2)])
+def test_pytorch_stft_matches_reference(polar, normalized, channels):
+    ref = load_ref_stft()
+    torch.manual_seed(3)
+    tmod = ref.STFT(400, 160, window="hann", center=True,
+                    normalized=normalized, mode="torch")
+    shape = (2, 4000) if channels is None else (2, channels, 4000)
+    x = torch.randn(*shape)
+    with torch.no_grad():
+        want = tmod(x, return_polar=polar).numpy()
+    jmod = jstft.STFT(400, 160, window="hann", center=True,
+                      normalized=normalized, mode="torch")
+    assert jmod.num_bins == tmod.num_bins
+    assert jmod.win_length == tmod.win_length
+    got = np.asarray(jmod(jnp.asarray(x.numpy()), return_polar=polar))
+    assert got.shape == want.shape
+    if polar:
+        np.testing.assert_allclose(got[..., 0], want[..., 0], rtol=1e-3,
+                                   atol=1e-3)
+        dphi = np.angle(np.exp(1j * (got[..., 1] - want[..., 1])))
+        assert np.abs(dphi * want[..., 0]).max() < 1e-2
+    else:
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_pytorch_istft_matches_reference():
+    ref = load_ref_stft()
+    torch.manual_seed(4)
+    # synthesize a consistent spectrum so istft is well-posed
+    x = torch.randn(2, 4000)
+    fwd = ref.STFT(400, 160, window="hann", center=True, mode="torch")
+    with torch.no_grad():
+        spec = fwd(x)
+        want = ref.iSTFT(400, 160, window="hann", center=True,
+                         mode="torch")(spec).numpy()
+    got = np.asarray(jstft.iSTFT(400, 160, window="hann", center=True,
+                                 mode="torch")(jnp.asarray(spec.numpy())))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_pytorch_stft_istft_roundtrip():
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 4000)).astype(np.float32)
+    fwd = jstft.STFT(400, 100, window="hann", center=True, mode="torch")
+    inv = jstft.iSTFT(400, 100, window="hann", center=True, mode="torch")
+    back = np.asarray(inv(fwd(jnp.asarray(x))))
+    np.testing.assert_allclose(back[:, 512:-512], x[:, 512:-512],
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_speed_perturb_filter_matches_reference():
     ref = load_ref_stft()
     want = ref.speed_perturb_filter(16000, 15200).numpy()
