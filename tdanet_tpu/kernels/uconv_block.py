@@ -64,21 +64,27 @@ def scale_lengths(T0, depth):
     return Ts
 
 
-def _row_mask(nrows, T):
+def _row_mask(nrows, T, dt=jnp.float32):
     row = lax.broadcasted_iota(jnp.int32, (nrows, 1), 0)
-    return ((row >= PAD) & (row < PAD + T)).astype(jnp.float32)
+    return ((row >= PAD) & (row < PAD + T)).astype(dt)
 
 
-def _glob_ln_f32(y, mask, n, gamma, beta, eps=1e-8):
-    """GlobLN over the true rows of a padded (rows, C) f32 array; y must
-    be zero on pad rows. Pad rows of the result are re-zeroed (the
-    affine beta would otherwise leak into later conv taps)."""
-    s = jnp.sum(y)
-    ss = jnp.sum(y * y)
+def _glob_ln(y, mask, n, gamma, beta, eps=1e-8):
+    """GlobLN over the true rows of a padded (rows, C) array; y must be
+    zero on pad rows. Statistics in f32 (like the XLA path, which
+    upcasts the bf16 tensor for its fused one-pass stats); the affine is
+    in y's dtype so intermediate spills stay bf16 on the bf16 path. Pad
+    rows of the result are re-zeroed (the affine beta would otherwise
+    leak into later conv taps)."""
+    dt = y.dtype
+    yf = y.astype(jnp.float32)
+    s = jnp.sum(yf)
+    ss = jnp.sum(yf * yf)
     mean = s / n
     var = jnp.maximum(ss / n - mean * mean, 0.0)
     rstd = lax.rsqrt(var + eps)
-    return ((y - mean) * rstd * gamma + beta) * mask
+    return ((y - mean.astype(dt)) * rstd.astype(dt) * gamma.astype(dt)
+            + beta.astype(dt)) * mask
 
 
 def _tap(h, k, stride, n_out):
@@ -93,17 +99,16 @@ def _tap(h, k, stride, n_out):
 
 
 def _dw_conv5(h, w, b, stride, n_out):
-    """Depthwise k=5 conv, f32 accumulation. h (rows, C) value with zero
-    pads; w (8, C) f32 taps in rows 0..4; b (1, C) f32. Returns
-    (n_out, C) f32 rows t = 0..n_out-1."""
+    """Depthwise k=5 conv in h's dtype (pairwise-tree accumulation keeps
+    bf16 rounding at two adds deep). h (rows, C) value with zero pads;
+    w (8, C) taps in rows 0..4; b (1, C). Returns (n_out, C) rows
+    t = 0..n_out-1."""
     if stride == 2 and DECIMATE == "fold":
         return _dw_conv5_s2_fold(h, w, b, n_out)
-    acc = None
-    for k in range(5):
-        tap = _tap(h, k, stride, n_out).astype(jnp.float32)
-        term = tap * w[k][None, :]
-        acc = term if acc is None else acc + term
-    return acc + b
+    dt = h.dtype
+    wc = w.astype(dt)
+    t = [_tap(h, k, stride, n_out) * wc[k][None, :] for k in range(5)]
+    return (t[0] + t[1]) + (t[2] + t[3]) + (t[4] + b.astype(dt))
 
 
 def _dw_conv5_s2_fold(h, w, b, n_out):
@@ -112,15 +117,14 @@ def _dw_conv5_s2_fold(h, w, b, n_out):
     y[t] = w0 E[t+3] + w1 O[t+3] + w2 E[t+4] + w3 O[t+4] + w4 E[t+5]
     (PAD=8 keeps the phase: buffer row of x[j] is 8+j)."""
     rows, C = h.shape
+    dt = h.dtype
+    wc = w.astype(dt)
     f = h.reshape(rows // 2, 2 * C)
     e, o = f[:, :C], f[:, C:]
-    acc = None
-    for k, (src, off) in enumerate(((e, 3), (o, 3), (e, 4), (o, 4), (e, 5))):
-        tap = lax.slice_in_dim(src, off, off + n_out, axis=0) \
-            .astype(jnp.float32)
-        term = tap * w[k][None, :]
-        acc = term if acc is None else acc + term
-    return acc + b
+    t = [lax.slice_in_dim(src, off, off + n_out, axis=0) * wc[k][None, :]
+         for k, (src, off) in enumerate(
+             ((e, 3), (o, 3), (e, 4), (o, 4), (e, 5)))]
+    return (t[0] + t[1]) + (t[2] + t[3]) + (t[4] + b.astype(dt))
 
 
 def _pyramid_kernel(*refs, Ts, C, Cin):
@@ -133,17 +137,19 @@ def _pyramid_kernel(*refs, Ts, C, Cin):
     g_ref = refs[-1]
 
     rows0 = _pads(Ts[0])
+    dt = x_ref.dtype
 
     # ---- proj_1x1: matmul + GlobLN + PReLU (ConvNormAct) ----
     h_in = x_ref[0]                                       # (rows0, Cin)
-    y = jnp.dot(h_in, wp_ref[:], preferred_element_type=jnp.float32)
-    m = _row_mask(rows0, Ts[0])
-    y = (y + bp_ref[:]) * m                               # pads: bias -> 0
-    z = _glob_ln_f32(y, m, jnp.float32(Ts[0] * C),
-                     pnorm_ref[0][None, :], pnorm_ref[1][None, :])
-    slope = slope_ref[0, 0]
-    z = jnp.where(z >= 0, z, slope * z)
-    h = z.astype(x_ref.dtype)                             # (rows0, C)
+    y = jnp.dot(h_in, wp_ref[:], preferred_element_type=jnp.float32) \
+        .astype(dt)
+    m = _row_mask(rows0, Ts[0], dt)
+    y = (y + bp_ref[:].astype(dt)) * m                    # pads: bias -> 0
+    z = _glob_ln(y, m, jnp.float32(Ts[0] * C),
+                 pnorm_ref[0][None, :], pnorm_ref[1][None, :])
+    # PReLU as max/min — bf16 cmpf is unsupported on v5e Mosaic
+    slope = slope_ref[0, 0].astype(dt)
+    h = jnp.maximum(z, 0) + slope * jnp.minimum(z, 0)     # (rows0, C)
 
     # ---- pyramid: dw k5 conv + GlobLN per scale; pool sum on the fly ----
     rows_g = _pads(Ts[-1]) - 2 * PAD
@@ -160,19 +166,21 @@ def _pyramid_kernel(*refs, Ts, C, Cin):
             acc_full = _dw_conv5(h, w, b, 1, Ts[s - 1])
             acc = jnp.dot(dec_refs[s - 1][:],
                           acc_full.astype(dec_refs[s - 1].dtype),
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32).astype(dt)
         else:
             acc = _dw_conv5(h, w, b, stride, T_out)
-        m = _row_mask(rows, T_out)
+        m = _row_mask(rows, T_out, dt)
         y = jnp.pad(acc, ((PAD, rows - T_out - PAD), (0, 0)))
-        z = _glob_ln_f32(y, m, jnp.float32(T_out * C), gam, bet)
-        h = z.astype(x_ref.dtype)
+        h = _glob_ln(y * m, m, jnp.float32(T_out * C), gam, bet)
         out_refs[s][0] = h
         if s < depth - 1:
-            contrib = jnp.dot(pool_refs[s][:], z,
+            # bf16 pool weights match the XLA path (adaptive_avg_pool1d
+            # casts its matrix to x.dtype)
+            contrib = jnp.dot(pool_refs[s][:], h,
                               preferred_element_type=jnp.float32)
         else:
-            contrib = lax.slice_in_dim(z, PAD, PAD + rows_g, axis=0)
+            contrib = lax.slice_in_dim(h, PAD, PAD + rows_g, axis=0) \
+                .astype(jnp.float32)
         pooled = contrib if pooled is None else pooled + contrib
     g_ref[0] = pooled.astype(g_ref.dtype)
 
@@ -230,20 +238,21 @@ def _mask0(nrows, T):
 
 
 def _k1_norm(v, w, gam, beta, T, C, mask):
-    """Depthwise k=1 ConvNorm (bias-free): per-channel scale + GlobLN."""
-    y = v.astype(jnp.float32) * w[None, :] * mask
-    return _glob_ln_f32(y, mask, jnp.float32(T * C), gam[None, :],
-                        beta[None, :])
+    """Depthwise k=1 ConvNorm (bias-free): per-channel scale + GlobLN.
+    Runs in v's dtype (f32 stats inside _glob_ln)."""
+    y = v * w[None, :].astype(v.dtype) * mask
+    return _glob_ln(y, mask, jnp.float32(T * C), gam[None, :],
+                    beta[None, :])
 
 
 def _k5_norm(v, taps, gam, beta, T, C):
     """Depthwise k=5 ConvNorm (bias-free) on a PAD-offset buffer."""
     rows = v.shape[0]
-    acc = _dw_conv5(v, taps, jnp.float32(0.0), 1, T)
+    acc = _dw_conv5(v, taps, jnp.zeros((1, 1), v.dtype), 1, T)
     y = jnp.pad(acc, ((PAD, rows - T - PAD), (0, 0)))
-    m = _row_mask(rows, T)
-    return _glob_ln_f32(y * m, m, jnp.float32(T * C), gam[None, :],
-                        beta[None, :])
+    m = _row_mask(rows, T, v.dtype)
+    return _glob_ln(y * m, m, jnp.float32(T * C), gam[None, :],
+                    beta[None, :])
 
 
 def _up2_rows(v, T_in, T_out, rows_out):
@@ -252,6 +261,13 @@ def _up2_rows(v, T_in, T_out, rows_out):
     r = jnp.repeat(t, 2, axis=0)
     r = lax.slice_in_dim(r, 0, T_out, axis=0)
     return jnp.pad(r, ((PAD, rows_out - T_out - PAD), (0, 0)))
+
+
+def _sigmoid(x):
+    """jax.nn.sigmoid lowers to lax.logistic, which hits a Mosaic
+    vector.broadcast f32->bf16 verification bug on bf16 inputs; the
+    manual formulation stays in x's dtype."""
+    return 1.0 / (1.0 + jnp.exp(-x))
 
 
 def _fuse_expand_kernel(*refs, Ts, C, Cout, up2, ablate=None):
@@ -272,9 +288,10 @@ def _fuse_expand_kernel(*refs, Ts, C, Cout, up2, ablate=None):
 
     Tg = Ts[-1]
     rows_g = g_ref.shape[1]
+    dt = g_ref.dtype
     g = g_ref[0]                                          # (rows_g, C)
-    mg = _mask0(rows_g, Tg)
-    g32 = g.astype(jnp.float32) * mg
+    mg = _mask0(rows_g, Tg).astype(dt)
+    gv = g * mg
 
     # ---- per-scale LA fusion: local*sig(up(act(g))) + up(emb(g)) ----
     if ablate == "skip_fusion":
@@ -283,20 +300,19 @@ def _fuse_expand_kernel(*refs, Ts, C, Cout, up2, ablate=None):
         fused = []
     for i in range(depth if ablate != "skip_fusion" else 0):
         rows_i = _pads(Ts[i])
-        mi = _row_mask(rows_i, Ts[i])
-        z_loc = _k1_norm(s_refs[i][0].astype(jnp.float32), fus_ref[i, 0],
+        mi = _row_mask(rows_i, Ts[i], dt)
+        z_loc = _k1_norm(s_refs[i][0], fus_ref[i, 0],
                          fus_ref[i, 1], fus_ref[i, 2], Ts[i], C, mi)
-        z_act = _k1_norm(g32, fus_ref[i, 3], fus_ref[i, 4], fus_ref[i, 5],
+        z_act = _k1_norm(gv, fus_ref[i, 3], fus_ref[i, 4], fus_ref[i, 5],
                          Tg, C, mg)
-        sig = jax.nn.sigmoid(z_act)
-        z_emb = _k1_norm(g32, fus_ref[i, 6], fus_ref[i, 7], fus_ref[i, 8],
+        sig = _sigmoid(z_act)
+        z_emb = _k1_norm(gv, fus_ref[i, 6], fus_ref[i, 7], fus_ref[i, 8],
                          Tg, C, mg)
         if i < depth - 1:
-            dt = u_refs[i].dtype
-            up_sig = jnp.dot(u_refs[i][:], sig.astype(dt),
-                             preferred_element_type=jnp.float32)
-            up_emb = jnp.dot(u_refs[i][:], z_emb.astype(dt),
-                             preferred_element_type=jnp.float32)
+            up_sig = jnp.dot(u_refs[i][:], sig,
+                             preferred_element_type=jnp.float32).astype(dt)
+            up_emb = jnp.dot(u_refs[i][:], z_emb,
+                             preferred_element_type=jnp.float32).astype(dt)
             pad_cfg = ((PAD, rows_i - Ts[i] - PAD), (0, 0))
             f = z_loc * jnp.pad(up_sig, pad_cfg) + jnp.pad(up_emb, pad_cfg)
         else:
@@ -304,7 +320,7 @@ def _fuse_expand_kernel(*refs, Ts, C, Cout, up2, ablate=None):
             emb_t = lax.slice_in_dim(z_emb, 0, Tg, axis=0)
             pad_cfg = ((PAD, rows_i - Tg - PAD), (0, 0))
             f = z_loc * jnp.pad(sig_t, pad_cfg) + jnp.pad(emb_t, pad_cfg)
-        fused.append((f * mi).astype(g_ref.dtype))
+        fused.append(f * mi)
 
     # ---- top-down expansion (x_fused[i-1] first-pair quirk) ----
     if ablate == "skip_expand":
@@ -325,38 +341,38 @@ def _fuse_expand_kernel(*refs, Ts, C, Cout, up2, ablate=None):
                          expn_ref[i, 0, 1], T_l, C)
         z_act = _k5_norm(x_g, expw_ref[i, 1], expn_ref[i, 1, 0],
                          expn_ref[i, 1, 1], T_gg, C)
-        sig = jax.nn.sigmoid(z_act)
+        sig = _sigmoid(z_act)
         z_emb = _k5_norm(x_g, expw_ref[i, 2], expn_ref[i, 2, 0],
                          expn_ref[i, 2, 1], T_gg, C)
         if T_l < T_gg:
             # first pair downsamples the finer global: one-hot matmul
-            dt = d_ref.dtype
             pad_cfg = ((PAD, rows_l - T_l - PAD), (0, 0))
-            r_sig = jnp.pad(jnp.dot(d_ref[:], sig.astype(dt),
-                                    preferred_element_type=jnp.float32),
-                            pad_cfg)
-            r_emb = jnp.pad(jnp.dot(d_ref[:], z_emb.astype(dt),
-                                    preferred_element_type=jnp.float32),
-                            pad_cfg)
+            r_sig = jnp.pad(jnp.dot(d_ref[:], sig,
+                                    preferred_element_type=jnp.float32)
+                            .astype(dt), pad_cfg)
+            r_emb = jnp.pad(jnp.dot(d_ref[:], z_emb,
+                                    preferred_element_type=jnp.float32)
+                            .astype(dt), pad_cfg)
         elif up2 == "repeat":
             r_sig = _up2_rows(sig, T_gg, T_l, rows_l)
             r_emb = _up2_rows(z_emb, T_gg, T_l, rows_l)
         else:
             u = up2_refs[i][:]
             pad_cfg = ((PAD, rows_l - T_l - PAD), (0, 0))
-            r_sig = jnp.pad(jnp.dot(u, sig.astype(u.dtype),
-                                    preferred_element_type=jnp.float32),
-                            pad_cfg)
-            r_emb = jnp.pad(jnp.dot(u, z_emb.astype(u.dtype),
-                                    preferred_element_type=jnp.float32),
-                            pad_cfg)
-        m = _row_mask(rows_l, T_l)
-        exp = ((z_loc * r_sig + r_emb) * m).astype(g_ref.dtype)
+            r_sig = jnp.pad(jnp.dot(u, sig,
+                                    preferred_element_type=jnp.float32)
+                            .astype(dt), pad_cfg)
+            r_emb = jnp.pad(jnp.dot(u, z_emb,
+                                    preferred_element_type=jnp.float32)
+                            .astype(dt), pad_cfg)
+        m = _row_mask(rows_l, T_l, dt)
+        exp = (z_loc * r_sig + r_emb) * m
 
     # ---- res_conv (1x1) + residual ----
-    y = jnp.dot(exp, resw_ref[:], preferred_element_type=jnp.float32)
-    m0 = _row_mask(_pads(Ts[0]), Ts[0])
-    y = (y + resb_ref[:]) * m0 + x_ref[0].astype(jnp.float32) * m0
+    y = jnp.dot(exp, resw_ref[:], preferred_element_type=jnp.float32) \
+        .astype(dt)
+    m0 = _row_mask(_pads(Ts[0]), Ts[0], dt)
+    y = (y + resb_ref[:].astype(dt)) * m0 + x_ref[0] * m0
     out_ref[0] = y.astype(out_ref.dtype)
 
 
@@ -483,7 +499,7 @@ def pyramid_fused(x, params, *, depth, interpret=None, raw=False,
     wp, bp, pnorm, slope, dww, dwp = _pyramid_weight_arrays(
         params, C, depth, dtype)
 
-    pools = [jnp.asarray(_pool_matrix(Ts[s], Ts[-1]))
+    pools = [jnp.asarray(_pool_matrix(Ts[s], Ts[-1])).astype(dtype)
              for s in range(depth - 1)]
     if DECIMATE == "matmul":
         # one-hot: exact in bf16, and bf16 x bf16 rides the MXU fast path

@@ -14,7 +14,6 @@ from tdanet_tpu.models import attentions, emcad, swin, transxnet, \
 from tdanet_tpu.models.swin import SwinTransformer, SwinTransformerSys, \
     SwinTransformerSysCustom
 from tdanet_tpu.models.tdanet_best import TDANetBest
-from tdanet_tpu.models.tdanet_best_fast import TDANetBestFast
 from tdanet_tpu.models.transxnet2d import TransXNet2D
 from tdanet_tpu.models.tdanet_emcad import (
     TDANetChannelFusion,
@@ -71,5 +70,5 @@ __all__ = [
     "TDANetGateOSRA", "TDANetMSFFN", "TDANetTranXNet", "TDANetV2",
     "attentions", "emcad", "swin", "transxnet", "transxnet2d",
     "SwinTransformer", "SwinTransformerSys", "SwinTransformerSysCustom",
-    "TDANetBestFast", "TransXNet2D",
+    "TransXNet2D",
 ]

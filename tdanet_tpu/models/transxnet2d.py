@@ -89,7 +89,7 @@ class PatchEmbed2d:
 
 def adaptive_pool2d(x, out_hw):
     """torch F.adaptive_avg_pool2d via two static pooling matmuls."""
-    from tdanet_tpu.models.tdanet_best_fast import avg_pool_matrix
+    from tdanet_tpu.ops import avg_pool_matrix
     B, C, H, W = x.shape
     oh, ow = out_hw
     mh = jnp.asarray(avg_pool_matrix(H, oh), x.dtype)

@@ -10,8 +10,7 @@ checkpoint bridge is a pure dtype cast, no transposes.
 Performance notes (TPU): 1x1 convs are lowered to matmuls by XLA; general
 convs use ``lax.conv_general_dilated`` which XLA tiles onto the MXU
 (measured faster than hand-written shift-add formulations in this
-layout — see docs/PERF.md). A validated channels-last executor lives in
-``tdanet_tpu.models.tdanet_best_fast``.
+layout — see docs/PERF.md).
 """
 
 from __future__ import annotations
@@ -259,6 +258,16 @@ def dropout(x, key, rate: float, training: bool):
 # ---------------------------------------------------------------------------
 
 
+def avg_pool_matrix(L, out):
+    """Dense adaptive-avg-pool weights (L, out), torch bin semantics."""
+    starts = (np.arange(out) * L) // out
+    ends = -((-(np.arange(out) + 1) * L) // out)
+    mat = np.zeros((L, out), np.float32)
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        mat[s:e, i] = 1.0 / (e - s)
+    return mat
+
+
 def adaptive_avg_pool1d(x, out_size: int):
     """torch F.adaptive_avg_pool1d semantics: bin i of the output averages
     input[floor(i*L/out) : ceil((i+1)*L/out)] (TDANet_best.py:362-364).
@@ -269,12 +278,7 @@ def adaptive_avg_pool1d(x, out_size: int):
     L = x.shape[-1]
     if L == out_size:
         return x
-    starts = (np.arange(out_size) * L) // out_size
-    ends = -((-(np.arange(out_size) + 1) * L) // out_size)  # ceil
-    mat = np.zeros((L, out_size), np.float32)
-    for i, (s, e) in enumerate(zip(starts, ends)):
-        mat[s:e, i] = 1.0 / (e - s)
-    mat = jnp.asarray(mat, x.dtype)
+    mat = jnp.asarray(avg_pool_matrix(L, out_size), x.dtype)
     return jnp.einsum("bcl,lo->bco", x, mat,
                       preferred_element_type=x.dtype)
 
