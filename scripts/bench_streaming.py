@@ -13,8 +13,11 @@ attached TPU the same step would be the ~17-20 ms compute.
 
 Usage: python scripts/bench_streaming.py [n_streams] [iters]
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

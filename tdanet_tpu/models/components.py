@@ -361,12 +361,15 @@ class UConvBlock:
         return p
 
     def apply(self, p, x, *, training=False, rng=None):
+        from jax.ad_checkpoint import checkpoint_name
         residual = x
         output1 = self.proj_1x1.apply(p["proj_1x1"], x)
         output = [self.spp_dw[0].apply(p["spp_dw"]["0"], output1)]
         for k in range(1, self.depth):
             output.append(self.spp_dw[k].apply(p["spp_dw"][str(k)],
                                                output[-1]))
+        # remat landmarks (no-ops unless Recurrent(remat="scales"))
+        output = [checkpoint_name(o, "pyr_scale") for o in output]
 
         coarsest = output[-1].shape[-1]
         global_f = output[-1]  # already at coarsest; pool is identity
@@ -374,10 +377,12 @@ class UConvBlock:
             global_f = global_f + ops.adaptive_avg_pool1d(fea, coarsest)
         global_f = self.globalatt.apply(p["globalatt"], global_f,
                                         training=training, rng=rng)
+        global_f = checkpoint_name(global_f, "ga_out")
 
         x_fused = [self.loc_glo_fus[i].apply(p["loc_glo_fus"][str(i)],
                                              output[i], global_f)
                    for i in range(self.depth)]
+        x_fused = [checkpoint_name(f, "fused_scale") for f in x_fused]
 
         expanded = None
         for i in range(self.depth - 2, -1, -1):
@@ -452,12 +457,14 @@ class UConvBlockInject:
         return p
 
     def apply(self, p, x, *, training=False, rng=None):
+        from jax.ad_checkpoint import checkpoint_name
         residual = x
         output1 = self.proj_1x1.apply(p["proj_1x1"], x)
         output = [self.spp_dw[0].apply(p["spp_dw"]["0"], output1)]
         for k in range(1, self.depth):
             output.append(self.spp_dw[k].apply(p["spp_dw"][str(k)],
                                                output[-1]))
+        output = [checkpoint_name(o, "pyr_scale") for o in output]
         if self.pool == "conv":
             # conv_pool applied in REVERSED index order (TDANet.py:604-608)
             pooled = [self.conv_pool[self.depth - k - 1].apply(
@@ -472,6 +479,7 @@ class UConvBlockInject:
             global_f = global_f + fea
         global_f = self.globalatt.apply(p["globalatt"], global_f,
                                         training=training, rng=rng)
+        global_f = checkpoint_name(global_f, "ga_out")
 
         if self.inject == "gate":
             x_fused = [jax.nn.sigmoid(
@@ -480,6 +488,7 @@ class UConvBlockInject:
         else:
             x_fused = [ops.interpolate_nearest(global_f, o.shape[-1]) + o
                        for o in output]
+        x_fused = [checkpoint_name(f, "fused_scale") for f in x_fused]
         first_pair = (self.depth - 3 if self.expand_pair == "prev"
                       else self.depth - 1)
         expanded = None
@@ -522,7 +531,15 @@ class Recurrent:
         def unet_fn(params, inp, it_rng):
             return self.unet.apply(params, inp, training=training, rng=it_rng)
 
-        if self.remat:
+        if self.remat == "scales":
+            # selective remat: keep each iteration's pyramid scales,
+            # post-GA global and fused scales (checkpoint_name tags in
+            # UConvBlock.apply); backward then only recomputes the short
+            # segments between them instead of the whole block.
+            unet_fn = jax.checkpoint(
+                unet_fn, policy=jax.checkpoint_policies.save_only_these_names(
+                    "pyr_scale", "ga_out", "fused_scale"))
+        elif self.remat:
             unet_fn = jax.checkpoint(unet_fn)
 
         def concat(inp):

@@ -95,13 +95,48 @@ def prelu_init(num_parameters=1, init=0.25, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 
+# Stride-2 depthwise-conv formulation switch. XLA space-to-batches
+# these convs at small batch and lands ~20x off its traffic's speed of
+# light; the even/odd phase-split ("fold") formulation is bit-exact and
+# 27x faster in isolation at B=4, +19% on the full serving forward at
+# B=4, but -16% at B=24 (scripts/probe_s2_dwconv.py,
+# scripts/probe_fold_serving.py, docs/PERF.md). Because the serving
+# engines vmap per-utterance (the conv traces at B=1 regardless of the
+# real batch), the choice CANNOT be made on the traced shape — callers
+# that know they are latency-bound (streaming engines) opt in with the
+# ``dw_s2_fold`` context around their trace/warm-compile; the default
+# keeps XLA's conv primitive everywhere.
+DW_S2_FOLD_MAX_BATCH = 0
+
+
+class dw_s2_fold:
+    """Context manager: trace model code with the phase-split stride-2
+    depthwise-conv formulation (see note above). Wrap the jit WARM call,
+    not just jit construction — the flag is read at trace time."""
+
+    def __init__(self, max_batch=10 ** 9):
+        self.max_batch = max_batch
+
+    def __enter__(self):
+        global DW_S2_FOLD_MAX_BATCH
+        self._saved = DW_S2_FOLD_MAX_BATCH
+        DW_S2_FOLD_MAX_BATCH = self.max_batch
+        return self
+
+    def __exit__(self, *exc):
+        global DW_S2_FOLD_MAX_BATCH
+        DW_S2_FOLD_MAX_BATCH = self._saved
+        return False
+
+
 def conv1d(x, params, *, stride=1, padding=0, dilation=1, groups=1):
     """torch-semantics Conv1d. x: (B, C, T); weight (O, I/g, K).
 
     k=1 depthwise convs (per-channel scales, used pervasively by the LA
     fusions) skip the conv primitive entirely; XLA's grouped-conv
     lowering is kept for k>1 (measured faster than shift-add in this
-    layout, docs/PERF.md).
+    layout, docs/PERF.md), EXCEPT small-batch stride-2 'same' depthwise
+    convs which use the phase-split formulation (see above).
     """
     w = params["weight"].astype(x.dtype)
     O, ig, K = w.shape
@@ -111,6 +146,10 @@ def conv1d(x, params, *, stride=1, padding=0, dilation=1, groups=1):
     if groups == C and O == C and ig == 1 and K == 1 and stride == 1 \
             and padding == 0:
         out = _depthwise_conv1d(x, w, stride, padding, dilation)
+    elif groups == C and O == C and ig == 1 and stride == 2 \
+            and dilation == 1 and K % 2 == 1 and padding == K // 2 \
+            and x.shape[0] <= DW_S2_FOLD_MAX_BATCH:
+        out = _dw_conv_s2_fold(x, w)
     else:
         out = lax.conv_general_dilated(
             x, w,
@@ -122,6 +161,36 @@ def conv1d(x, params, *, stride=1, padding=0, dilation=1, groups=1):
         )
     if "bias" in params:
         out = out + params["bias"].astype(x.dtype)[None, :, None]
+    return out
+
+
+def _dw_conv_s2_fold(x, w):
+    """Stride-2 'same' depthwise conv via even/odd phase split.
+
+    y[t] = sum_k w[k] x[2t + k - K//2]. With xp = x front-padded by
+    K//2 (so x[2t+k-K//2] = xp[2t+k]) reshaped to interleaved phases
+    E[i] = xp[2i], O[i] = xp[2i+1], each tap is a contiguous slice of
+    one phase — no strided window, so XLA keeps it a fused VPU
+    shift-FMA chain instead of space-to-batching the conv.
+    x: (B, C, T), w: (C, 1, K) with K odd. Output length ceil(T/2)
+    (== torch Conv1d(stride=2, padding=K//2)).
+    """
+    B, C, T = x.shape
+    K = w.shape[-1]
+    p = K // 2
+    n_out = (T - 1) // 2 + 1
+    # need xp even length >= 2*n_out + K - 1
+    back = 2 * n_out + K - 1 - (T + p)
+    back = back + ((T + p + back) % 2)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (p, back)))
+    f = xp.reshape(B, C, xp.shape[-1] // 2, 2)
+    e, o = f[..., 0], f[..., 1]
+    out = None
+    for k in range(K):
+        src = e if k % 2 == 0 else o
+        sl = lax.slice_in_dim(src, k // 2, k // 2 + n_out, axis=2)
+        term = sl * w[None, :, 0, k:k + 1]
+        out = term if out is None else out + term
     return out
 
 

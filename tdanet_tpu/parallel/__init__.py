@@ -9,9 +9,14 @@ from tdanet_tpu.parallel.mesh import (
     replicated,
     shard_params,
 )
+from tdanet_tpu.parallel.sequence import (
+    make_sp_mesh,
+    pad_for_sp,
+    separate_sp,
+)
 
 __all__ = [
     "TDANET_TP_RULES", "batch_sharding", "initialize_distributed",
-    "make_mesh", "param_shardings",
-    "replicated", "shard_params",
+    "make_mesh", "make_sp_mesh", "pad_for_sp", "param_shardings",
+    "replicated", "separate_sp", "shard_params",
 ]

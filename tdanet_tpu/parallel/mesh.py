@@ -94,9 +94,16 @@ def _tree_paths(params, prefix=""):
     return out
 
 
-def param_shardings(params, mesh: Mesh, rules=None):
-    """Pytree of NamedShardings matching ``params``' structure."""
+def param_shardings(params, mesh: Mesh, rules=None, verbose=True):
+    """Pytree of NamedShardings matching ``params``' structure.
+
+    A rule whose sharded axis does not divide the mesh axis is DROPPED
+    (the weight is replicated instead) — correct but weaker than asked;
+    every such drop is reported via warnings so a tp=4 request cannot
+    silently degrade to tp=1 behavior.
+    """
     rules = TDANET_TP_RULES if rules is None else rules
+    dropped = []
 
     def rec(node, prefix):
         if isinstance(node, dict):
@@ -109,11 +116,20 @@ def param_shardings(params, mesh: Mesh, rules=None):
             if s is not None:
                 axis_size = mesh.shape[s]
                 if i >= node.ndim or node.shape[i] % axis_size != 0:
+                    dropped.append((prefix, tuple(node.shape), str(spec)))
                     specs = [None] * max(node.ndim, 1)
                     break
         return NamedSharding(mesh, P(*specs))
 
-    return rec(params, "")
+    out = rec(params, "")
+    if dropped and verbose:
+        import warnings
+        head = ", ".join(f"{p} {sh}" for p, sh, _ in dropped[:5])
+        warnings.warn(
+            f"param_shardings: {len(dropped)} matched sharding rule(s) "
+            f"dropped to replication (axis does not divide the mesh): "
+            f"{head}{' ...' if len(dropped) > 5 else ''}")
+    return out
 
 
 def batch_sharding(mesh: Mesh):

@@ -21,12 +21,15 @@ serving:
 
 from __future__ import annotations
 
+from contextlib import nullcontext as _nullcontext
 from typing import Dict, List, Optional
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+from tdanet_tpu import ops
 
 
 def _cos(a, b):
@@ -115,7 +118,7 @@ class StreamingSeparator:
     """
 
     def __init__(self, model, params, segment=4.0, overlap=0.25,
-                 sample_rate=8000, compute_dtype=None):
+                 sample_rate=8000, compute_dtype=None, dw_fold=True):
         self.model, self.params = model, params
         self.sr = sample_rate
         self.seg_len = int(segment * sample_rate)
@@ -124,8 +127,12 @@ class StreamingSeparator:
         self.n_src = getattr(model, "num_sources", 2)
         self._fwd = jax.jit(
             lambda p, x: model.apply(p, x, compute_dtype=compute_dtype))
-        # warm compile on the fixed segment shape
-        self._fwd(params, jnp.zeros((1, self.seg_len), jnp.float32))
+        # warm compile on the fixed segment shape; streaming is
+        # latency-bound at batch 1, where the phase-split stride-2 dw
+        # conv beats XLA's space-to-batched conv (+19% at B=4,
+        # docs/PERF.md) — every later dispatch reuses this trace
+        with ops.dw_s2_fold() if dw_fold else _nullcontext():
+            self._fwd(params, jnp.zeros((1, self.seg_len), jnp.float32))
         self.reset()
 
     def reset(self):
@@ -177,7 +184,7 @@ class MultiStreamSeparator:
 
     def __init__(self, model, params, max_streams=4, segment=4.0,
                  overlap=0.25, sample_rate=8000, compute_dtype=None,
-                 emit_dtype="float32"):
+                 emit_dtype="float32", dw_fold=True):
         self.model, self.params = model, params
         self.max_streams = max_streams
         self.seg_len = int(segment * sample_rate)
@@ -199,8 +206,12 @@ class MultiStreamSeparator:
             return est
 
         self._fwd = jax.jit(fwd)
-        self._fwd(params, jnp.zeros((max_streams, self.seg_len),
-                                    jnp.float32))  # warm compile
+        # warm compile; fold formulation wins for hop-latency-bound
+        # small batches (<=8 streams measured, docs/PERF.md)
+        with ops.dw_s2_fold() if (dw_fold and max_streams <= 8) \
+                else _nullcontext():
+            self._fwd(params, jnp.zeros((max_streams, self.seg_len),
+                                        jnp.float32))
         self._streams: Dict[object, _StreamState] = {}
 
     def open(self, stream_id) -> None:

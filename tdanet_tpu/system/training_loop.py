@@ -90,11 +90,17 @@ class AudioTrainer:
         net = config["audionet"]
         sr = config["datamodule"]["data_config"]["sample_rate"]
         net_conf = dict(net["audionet_config"])
-        # Training defaults to rematerializing the shared-weight
-        # recurrence: without it the full-recipe backward (16 blocks,
-        # batch 8, 3 s) needs ~17 GB of activations and OOMs a 16 GB
-        # v5e chip. Override with audionet_config.remat=false.
-        net_conf.setdefault("remat", True)
+        # Training defaults to selective rematerialization of the
+        # shared-weight recurrence ("scales": keep each iteration's
+        # pyramid/GA/fusion landmarks, recompute only the segments
+        # between them): without any remat the full-recipe backward
+        # (16 blocks, batch 8, 3 s) needs ~17 GB of activations and
+        # OOMs a 16 GB v5e chip. Measured vs full per-iteration remat
+        # (scripts/probe_train_remat.py): same step time, ~5x faster
+        # compile (74 s vs 395 s), ~2.4 GB extra activations at the
+        # recipe shape. Override with audionet_config.remat=true
+        # (full) or =false (none).
+        net_conf.setdefault("remat", "scales")
         self.model = model_zoo.get(net["audionet_name"])(
             sample_rate=sr, **net_conf)
 

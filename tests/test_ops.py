@@ -5,6 +5,7 @@ import torch
 import torch.nn as nn
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from tdanet_tpu import ops
@@ -166,3 +167,35 @@ def test_mha_matches_torch():
         params, H)
     np.testing.assert_allclose(np.asarray(got), to_np(want), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_dw_conv_s2_fold_matches_conv_primitive():
+    """The opt-in phase-split stride-2 depthwise path (ops.dw_s2_fold,
+    used by the streaming engines) must equal the XLA conv primitive for
+    even/odd lengths, torch semantics, and under vmap (the serving
+    engines map per-utterance batch=1). docs/PERF.md fold experiment."""
+    torch.manual_seed(7)
+    for T in (50, 51, 9):
+        for K in (3, 5):
+            m = nn.Conv1d(12, 12, K, stride=2, padding=K // 2, groups=12,
+                          bias=False)
+            x = torch.randn(2, 12, T)
+            want = to_np(m(x))
+            params = {"weight": jnp.asarray(to_np(m.weight))}
+            with ops.dw_s2_fold():
+                got = ops.conv1d(jnp.asarray(to_np(x)), params, stride=2,
+                                 padding=K // 2, groups=12)
+                xv = jnp.asarray(to_np(x))[:, None]
+                gotv = jax.vmap(lambda s: ops.conv1d(s, params, stride=2,
+                                                     padding=K // 2,
+                                                     groups=12))(xv)
+            assert got.shape == want.shape
+            np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL,
+                                       atol=ATOL)
+            # default (conv-primitive) branch must agree with fold
+            got2 = ops.conv1d(jnp.asarray(to_np(x)), params, stride=2,
+                              padding=K // 2, groups=12)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(got2),
+                                       rtol=1e-6, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(gotv[:, 0]), want,
+                                       rtol=RTOL, atol=ATOL)

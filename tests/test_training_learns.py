@@ -99,3 +99,29 @@ def test_dp_gradients_match_single_device():
                     jax.tree_util.tree_leaves(g_dp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1e-5)
+
+
+def test_scales_remat_gradients_match_full_remat():
+    """remat="scales" (selective checkpoint_name landmarks) must be a pure
+    memory/speed tradeoff: gradients identical to full remat."""
+    mix, src = make_batch(jax.random.PRNGKey(0), B=2, T=800)
+    loss = PITLossWrapper(pairwise_neg_snr, pit_from="pw_mtx")
+
+    def grads_for(remat):
+        model = TDANetBest(out_channels=16, in_channels=32, num_blocks=2,
+                           upsampling_depth=4, enc_kernel_size=4,
+                           num_sources=2, sample_rate=8000, remat=remat)
+        params = model.init(jax.random.PRNGKey(1))
+        g = jax.grad(lambda p: loss(model.apply(p, mix), src))(params)
+        return params, g
+
+    p_full, g_full = grads_for(True)
+    p_sel, g_sel = grads_for("scales")
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        p_full, p_sel)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+        g_full, g_sel)
