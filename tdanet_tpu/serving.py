@@ -16,7 +16,10 @@ serving:
   dominates single-stream latency at batch 1, docs/PERF.md) across all
   active streams; per-utterance (batch=1) semantics preserved via vmap;
 - ``BatchSeparationServer``: a micro-batching offline engine over the
-  bucketed ``separate_batched`` path.
+  bucketed ``separate_batched`` path;
+- ``AsyncBatchServer``: request/response online serving — ``submit``
+  returns a Future, a worker thread coalesces requests into one
+  batched dispatch under a latency budget (``max_wait_ms``).
 """
 
 from __future__ import annotations
@@ -278,3 +281,117 @@ class BatchSeparationServer:
         return separate_batched(self.model, self.params, wavs,
                                 batch_size=self.batch_size,
                                 compute_dtype=self.compute_dtype)
+
+
+class AsyncBatchServer:
+    """Asynchronous micro-batching separation server (online request/
+    response serving, the piece between the offline
+    ``BatchSeparationServer`` and the stateful streaming engines).
+
+    ``submit(wav)`` returns a ``concurrent.futures.Future`` immediately;
+    a worker thread drains the request queue, coalescing up to
+    ``max_batch`` requests or waiting at most ``max_wait_ms`` for the
+    batch to fill, buckets them by lattice-padded length (one compiled
+    program per bucket, shapes static), and resolves every future with
+    the (n_src, T) separated audio — same trimming + per-utterance
+    energy renormalization as the eval path (utils/separator.py).
+
+    vmap preserves the reference's per-utterance batch=1 MHA semantics;
+    batches are padded to ``max_batch`` rows so each bucket compiles
+    exactly once.
+    """
+
+    def __init__(self, model, params, max_batch=8, max_wait_ms=5.0,
+                 compute_dtype=None, dw_fold=None):
+        import queue as _queue
+        self.model, self.params = model, params
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self.compute_dtype = compute_dtype
+        self.lattice = getattr(model, "lcm", 1)
+        # default the fold fast path on for latency-sized batches
+        self.dw_fold = dw_fold if dw_fold is not None else max_batch <= 8
+        self._fwd_cache: Dict[int, object] = {}
+        self._q: "_queue.Queue" = _queue.Queue()
+        self._alive = True
+        import threading
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # -- client side -------------------------------------------------------
+
+    def submit(self, wav: np.ndarray):
+        from concurrent.futures import Future
+        fut: Future = Future()
+        self._q.put((np.asarray(wav, np.float32), fut))
+        return fut
+
+    def separate(self, wav: np.ndarray, timeout=None) -> np.ndarray:
+        return self.submit(wav).result(timeout=timeout)
+
+    def close(self):
+        self._alive = False
+        self._q.put(None)
+        self._worker.join(timeout=10)
+
+    # -- worker ------------------------------------------------------------
+
+    def _get_fwd(self, target: int):
+        if target not in self._fwd_cache:
+            single = lambda p, w: self.model.apply(
+                p, w[None], compute_dtype=self.compute_dtype)[0]
+            fwd = jax.jit(lambda p, x: jax.vmap(
+                single, in_axes=(None, 0))(p, x))
+            with ops.dw_s2_fold() if self.dw_fold else _nullcontext():
+                fwd(self.params,
+                    jnp.zeros((self.max_batch, target), jnp.float32))
+            self._fwd_cache[target] = fwd
+        return self._fwd_cache[target]
+
+    def _run(self):
+        import queue as _queue
+        import time as _time
+        while self._alive:
+            try:
+                item = self._q.get(timeout=0.2)
+            except _queue.Empty:
+                continue
+            if item is None:
+                break
+            batch = [item]
+            deadline = _time.monotonic() + self.max_wait
+            while len(batch) < self.max_batch:
+                left = deadline - _time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=left)
+                except _queue.Empty:
+                    break
+                if nxt is None:
+                    self._alive = False
+                    break
+                batch.append(nxt)
+            buckets: Dict[int, list] = {}
+            for wav, fut in batch:
+                t = -(-wav.shape[-1] // self.lattice) * self.lattice
+                buckets.setdefault(t, []).append((wav, fut))
+            for target, reqs in buckets.items():
+                fwd = self._get_fwd(target)
+                for s in range(0, len(reqs), self.max_batch):
+                    group = reqs[s:s + self.max_batch]
+                    x = np.zeros((self.max_batch, target), np.float32)
+                    for row, (wav, _) in enumerate(group):
+                        x[row, :wav.shape[-1]] = wav
+                    try:
+                        est = np.asarray(fwd(self.params, x))
+                    except Exception as e:  # resolve, don't hang clients
+                        for _, fut in group:
+                            fut.set_exception(e)
+                        continue
+                    for row, (wav, fut) in enumerate(group):
+                        T = wav.shape[-1]
+                        out = est[row, :, :T]
+                        scale = (np.abs(wav).sum()
+                                 / (np.abs(out).sum() + 1e-8))
+                        fut.set_result(out * scale)

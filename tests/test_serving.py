@@ -165,3 +165,47 @@ def test_streaming_incremental_latency():
     assert out.shape == (2, 0)
     out = stream.push(np.zeros(SR // 2, np.float32))
     assert out.shape == (2, SR)  # first full segment emitted entirely
+
+
+def test_async_batch_server_matches_batched_path():
+    """AsyncBatchServer futures must resolve to the same audio as the
+    synchronous bucketed eval path, across mixed lengths submitted
+    concurrently, and coalesce them into few dispatches."""
+    from tdanet_tpu.serving import AsyncBatchServer
+    from tdanet_tpu.utils.separator import separate_batched
+
+    model, params = build()
+    rng = np.random.default_rng(0)
+    wavs = [rng.standard_normal(T).astype(np.float32) * 0.1
+            for T in (SR, SR, SR + 123, SR, SR + 123, SR)]
+    want = separate_batched(model, params, wavs, batch_size=4)
+
+    server = AsyncBatchServer(model, params, max_batch=4, max_wait_ms=50)
+    try:
+        futs = [server.submit(w) for w in wavs]
+        got = [f.result(timeout=120) for f in futs]
+    finally:
+        server.close()
+    for g, w in zip(got, want):
+        assert g.shape == w.shape
+        np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-5)
+
+
+def test_async_batch_server_error_propagates():
+    """A failing request resolves the future with the exception instead
+    of hanging the client."""
+    from tdanet_tpu.serving import AsyncBatchServer
+    model, params = build()
+    server = AsyncBatchServer(model, params, max_batch=2, max_wait_ms=1)
+    try:
+        bad = server.submit(np.zeros((0,), np.float32))  # empty audio
+        try:
+            bad.result(timeout=120)
+        except Exception:
+            pass  # either outcome is fine as long as it RESOLVES
+        ok = server.separate(
+            np.random.default_rng(1).standard_normal(SR)
+            .astype(np.float32) * 0.1, timeout=120)
+        assert ok.shape[0] == 2
+    finally:
+        server.close()
