@@ -30,6 +30,11 @@ def main(argv=None):
                    help="dir of long-form wavs (overrides config)")
     p.add_argument("--segment", type=float, default=None)
     p.add_argument("--overlap", type=float, default=None)
+    p.add_argument("--mode", choices=["stitch", "sp"], default="stitch",
+                   help="stitch: reference chunk+overlap-add semantics; "
+                   "sp: ONE sequence-parallel full-utterance forward, "
+                   "time sharded over all local devices (no stitching "
+                   "seams; beyond-reference capability)")
     args, _ = p.parse_known_args(argv)
 
     conf = load_yaml(args.conf_dir)
@@ -59,6 +64,26 @@ def main(argv=None):
             sample_rate=sr, segment=segment, overlap=overlap)
     dm.setup()
     _, _, test_set = dm.make_sets
+
+    if args.mode == "sp":
+        from tdanet_tpu.utils import read_wav
+        from tdanet_tpu.parallel import make_sp_mesh, separate_sp
+        mesh = make_sp_mesh()
+        test_dir = args.test_dir or dm.dirs["test"]
+        t0 = time.time()
+        names = [n for n in sorted(os.listdir(test_dir))
+                 if n.endswith(".wav")]
+        for f_name in names:
+            wav, _ = read_wav(os.path.join(test_dir, f_name))
+            if wav.ndim > 1:
+                wav = wav[:, 0]
+            streams = separate_sp(model, params, wav, mesh)
+            for s in range(streams.shape[0]):
+                write_wav(os.path.join(args.save_path, f"s{s + 1}", f_name),
+                          streams[s], sr)
+        print(f"Deal time: [{time.time() - t0:.2f}] seconds for "
+              f"[{len(names)}] items (sp={mesh.shape['sp']}).")
+        return
 
     overlap_len = int(sr * segment * overlap)
     t0 = time.time()

@@ -121,3 +121,37 @@ def test_css_stitching(debug_config, tmp_path):
     if pad_len:
         streams = streams[:, :-pad_len]
     assert streams.shape == (2, T)
+
+
+def test_css_sp_mode_cli(debug_config, tmp_path):
+    """audio_test_css.py --mode sp: one sequence-parallel forward over
+    the 8-device CPU mesh instead of chunk+stitch; output wavs have the
+    input length."""
+    import yaml
+
+    import audio_test_css
+    from tdanet_tpu.utils import read_wav, write_wav
+
+    exp_dir = debug_config["main_args"]["exp_dir"]
+    # the CLI reads the frozen conf (audio_train.py writes it; the
+    # in-process AudioTrainer fixture does not) — freeze it here
+    conf_path = os.path.join(exp_dir, "conf.yml")
+    if not os.path.exists(conf_path):
+        with open(conf_path, "w") as f:
+            yaml.safe_dump(json.loads(json.dumps(debug_config)), f)
+    rng = np.random.default_rng(4)
+    T = int(SR * 2.7)
+    long_dir = tmp_path / "long"
+    long_dir.mkdir()
+    write_wav(str(long_dir / "a.wav"),
+              rng.standard_normal(T).astype(np.float32) * 0.1, SR)
+    out_dir = tmp_path / "css_sp"
+    rc = audio_test_css.main([
+        "--conf_dir", conf_path,
+        "--ckpt_path", os.path.join(exp_dir, "best_model.pth"),
+        "--test_dir", str(long_dir), "--mode", "sp",
+        "--save_path", str(out_dir)])
+    assert rc in (None, 0)
+    for s in (1, 2):
+        wav, sr = read_wav(str(out_dir / f"s{s}" / "a.wav"))
+        assert sr == SR and wav.shape[-1] == T
