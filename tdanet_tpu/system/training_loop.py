@@ -180,6 +180,24 @@ class AudioTrainer:
         epochs = cfg_t.get("epochs", 500)
         patience = cfg_t.get("early_stop", {}).get("patience", 30)
         speed_aug = bool(cfg_t.get("SpeedAug", False))
+        # production hardening (no reference counterpart; TPU pods get
+        # preempted and tunneled devices wedge):
+        #  - SIGTERM/SIGINT -> finish the current step, checkpoint, exit
+        #    cleanly (resume picks up at the next epoch);
+        #  - a failing train step restores the last checkpoint and
+        #    continues, up to max_step_failures per fit().
+        max_failures = int(cfg_t.get("max_step_failures", 3))
+        self._preempted = False
+        import signal
+
+        def _on_term(signum, frame):
+            self._preempted = True
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _on_term)
+            except ValueError:  # non-main thread
+                pass
 
         self.state = create_train_state(
             self.model, self.optimizer, jax.random.PRNGKey(
@@ -201,6 +219,7 @@ class AudioTrainer:
         test_loader = self.datamodule.test_dataloader()
         rng_host = np.random.default_rng(1234)
         best_val, bad_epochs = float("inf"), 0
+        failures = 0
 
         with self.mesh:
             for epoch in range(start_epoch, epochs):
@@ -218,11 +237,51 @@ class AudioTrainer:
                         set_learning_rate(self.state.opt_state, lr)
                     rng = jax.random.PRNGKey(
                         (epoch << 20) | (b & 0xFFFFF))
-                    self.state, loss = self.train_step(
-                        self.state, mix, src, rng)
+                    try:
+                        self.state, loss = self.train_step(
+                            self.state, mix, src, rng)
+                    except (KeyboardInterrupt, SystemExit):
+                        raise
+                    except Exception as e:
+                        failures += 1
+                        print_only(
+                            f"train step failed ({type(e).__name__}: "
+                            f"{str(e)[:200]}); restoring last checkpoint "
+                            f"[{failures}/{max_failures}]")
+                        if failures > max_failures:
+                            raise
+                        try:
+                            self.state, _ = self.ckpt.restore_last(
+                                self.state)
+                        except FileNotFoundError:
+                            self.state = create_train_state(
+                                self.model, self.optimizer,
+                                jax.random.PRNGKey(cfg_t.get("seed", 0)),
+                                mesh=self.mesh)
+                        continue
                     train_losses.append(loss)
+                    if self._preempted:
+                        break
+                if not train_losses and not self._preempted:
+                    raise RuntimeError(
+                        f"every training batch was dropped: batch size "
+                        f"must be >= dp ({self.dp}); raise "
+                        f"datamodule.data_config.batch_size or shrink "
+                        f"the mesh")
                 train_loss = float(jnp.mean(jnp.stack(train_losses))) \
                     if train_losses else float("nan")
+
+                if self._preempted:
+                    # skip validation: preemption grace windows are short.
+                    # val_loss=inf keeps this save out of the top-k set
+                    # while still updating the 'last' checkpoint.
+                    extras = {"epoch": epoch, "val_loss": float("inf")}
+                    if self.scheduler is not None:
+                        extras["scheduler"] = self.scheduler.state_dict()
+                    self.ckpt.save(epoch, self.state, float("inf"), extras)
+                    print_only(f"Preempted: checkpointed epoch {epoch}, "
+                               f"exiting cleanly (resume to continue)")
+                    break
 
                 val_loss = self.validate(val_loader)
                 row = {"epoch": epoch, "train_loss": train_loss,
@@ -253,6 +312,8 @@ class AudioTrainer:
                         print_only(f"Early stopping at epoch {epoch}")
                         break
 
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)
         self.ckpt.wait()
         self.finalize()
         return self.history
