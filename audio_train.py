@@ -7,6 +7,22 @@ Usage:
 
 import os
 
+# Multi-host: scripts/launch_multihost.py sets these; initialize the
+# distributed runtime BEFORE any backend touch (the coordinator
+# handshake must precede device discovery).
+if os.environ.get("TDANET_COORDINATOR"):
+    if os.environ.get("TDANET_FORCE_CPU"):
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_"
+                                     "count=2")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    from tdanet_tpu.parallel import initialize_distributed
+    initialize_distributed(
+        coordinator_address=os.environ["TDANET_COORDINATOR"],
+        num_processes=int(os.environ["TDANET_NUM_PROCESSES"]),
+        process_id=int(os.environ["TDANET_PROCESS_ID"]))
+
 import jax
 
 from tdanet_tpu.utils import parse_config, save_yaml

@@ -3,6 +3,8 @@ dp-sharded TDANet train step with per-process local batch shards
 (reference capability: Lightning multi-node DDP, audio_train.py:185-195).
 Each rank runs tests/multihost_worker.py in a fresh subprocess."""
 import os
+
+import numpy as np
 import re
 import socket
 import subprocess
@@ -53,3 +55,44 @@ def test_two_process_distributed_train_step():
         losses.append(float(m.group(1)))
     # both ranks computed the same global loss through the collective
     assert abs(losses[0] - losses[1]) < 1e-5, losses
+
+
+def test_two_process_audio_trainer_e2e(tmp_path):
+    """Full AudioTrainer through scripts/launch_multihost.py: 2 CPU
+    processes x 2 virtual devices = dp=4 mesh, per-process local batch
+    shards, rank-0 checkpoint export."""
+    import json
+    import shutil
+
+    sys.path.insert(0, REPO)
+    from test_data_metrics_utils import make_synth_split
+
+    root = tmp_path / "data"
+    for split in ("tr", "dev", "tt"):
+        make_synth_split(str(root / split), n_utt=8, seconds=(1.2, 1.4),
+                         seed=3)
+    exp = "mh_trainer_test"
+    exp_dir = os.path.join(REPO, "Experiments", "checkpoint", exp)
+    shutil.rmtree(exp_dir, ignore_errors=True)
+    env = _clean_env()
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts",
+                                          "launch_multihost.py"),
+             "--nprocs", "2", "--cpu", "--",
+             "audio_train.py", "--conf_dir", "configs/tdanet_debug.yml",
+             f"datamodule.data_config.train_dir={root / 'tr'}",
+             f"datamodule.data_config.valid_dir={root / 'dev'}",
+             f"datamodule.data_config.test_dir={root / 'tt'}",
+             "datamodule.data_config.batch_size=4",
+             "audionet.audionet_config.num_blocks=1",
+             "training.epochs=1", f"exp.exp_name={exp}"],
+            cwd=REPO, env=env, capture_output=True, text=True,
+            timeout=1200)
+        assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+        assert os.path.exists(os.path.join(exp_dir, "best_model.pth"))
+        with open(os.path.join(exp_dir, "history.json")) as f:
+            hist = json.load(f)
+        assert len(hist) == 1 and np.isfinite(hist[0]["val_loss"])
+    finally:
+        shutil.rmtree(exp_dir, ignore_errors=True)
