@@ -11,7 +11,18 @@ a ``jax.sharding.Mesh`` with named axes:
 
 Shardings are GSPMD annotations: correctness is preserved for any layout,
 XLA inserts the collectives (scaling-book recipe: pick mesh, annotate,
-let XLA do the rest).
+let XLA do the rest). A third axis family, sequence parallelism over
+TIME, lives in ``parallel.sequence`` (long-form inference).
+
+Pipeline and expert parallelism are deliberately ABSENT: the flagship
+is a 2.3M-parameter model whose weights replicate onto any chip for
+free, so pipelining its 16 SHARED-WEIGHT iterations across stages
+would add bubble latency and inter-stage transfers while saving
+nothing (there is no per-stage weight memory to distribute), and there
+are no mixture-of-experts layers anywhere in the reference family to
+shard expert-wise. dp scales throughput, tp bounds per-chip latency,
+sp bounds per-chip memory for long inputs — that covers this model
+family's scaling space.
 """
 
 from __future__ import annotations
