@@ -13,7 +13,7 @@ def test_bench_json_contract():
                BENCH_ITERS="2", BENCH_SECONDS="0.5",
                JAX_PLATFORMS="cpu")
     out = subprocess.run([sys.executable, "bench.py"], cwd=REPO, env=env,
-                         capture_output=True, text=True, timeout=600)
+                         capture_output=True, text=True, timeout=900)
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
     assert len(lines) == 1, lines
@@ -50,7 +50,7 @@ def test_dryrun_multichip_driver_parity():
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],
         cwd=REPO, env=_driver_env(), capture_output=True, text=True,
-        timeout=600)
+        timeout=900)
     assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
     assert "dryrun_multichip OK on 8 devices" in out.stdout
 
@@ -64,6 +64,6 @@ def test_dryrun_multichip_backend_already_up():
             "import __graft_entry__ as g; g.dryrun_multichip(4)")
     out = subprocess.run([sys.executable, "-c", code], cwd=REPO,
                          env=_driver_env(), capture_output=True, text=True,
-                         timeout=600)
+                         timeout=900)
     assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
     assert "dryrun_multichip OK on 4 devices" in out.stdout
