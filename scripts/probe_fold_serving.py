@@ -54,7 +54,7 @@ def main():
                             + 1e-30)
         print(f"    fold vs conv: max abs {err:.2e}, SNR {snr:.1f} dB",
               flush=True)
-    basic.DW_S2_FOLD_MAX_BATCH = 8
+    basic.DW_S2_FOLD_MAX_BATCH = 0  # module default: fold is opt-in
 
 
 if __name__ == "__main__":

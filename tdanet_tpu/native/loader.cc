@@ -387,8 +387,15 @@ class Loader {
           if (mouth_item > 0) {
             float* mo = b->mouth.data() + (k * n_src_ + s) * mouth_item;
             if (!read_npz_mouth(mouth_paths_[item * n_src_ + s],
-                                "data.npy", fps_len_, mh_, mw_, mo))
+                                "data.npy", fps_len_, mh_, mw_, mo)) {
+              // zero-fill keeps the batch shape valid, but never let a
+              // bad file pass silently (the Python path would raise)
+              fprintf(stderr,
+                      "tdanet native loader: FAILED to read mouth npz "
+                      "'%s' — zero-filling its video features\n",
+                      mouth_paths_[item * n_src_ + s].c_str());
               memset(mo, 0, mouth_item * sizeof(float));
+            }
           }
         }
       }

@@ -112,13 +112,22 @@ DW_S2_FOLD_MAX_BATCH = 0
 class dw_s2_fold:
     """Context manager: trace model code with the phase-split stride-2
     depthwise-conv formulation (see note above). Wrap the jit WARM call,
-    not just jit construction — the flag is read at trace time."""
+    not just jit construction — the flag is read at trace time.
+
+    The flag is process-global, so entries are serialized with a lock:
+    interleaved save/restore from concurrent warm-compiles (e.g. an
+    AsyncBatchServer worker warming a bucket while the main thread
+    builds a streaming engine) would otherwise leave the flag stuck."""
+
+    import threading as _threading
+    _lock = _threading.RLock()
 
     def __init__(self, max_batch=10 ** 9):
         self.max_batch = max_batch
 
     def __enter__(self):
         global DW_S2_FOLD_MAX_BATCH
+        dw_s2_fold._lock.acquire()
         self._saved = DW_S2_FOLD_MAX_BATCH
         DW_S2_FOLD_MAX_BATCH = self.max_batch
         return self
@@ -126,6 +135,7 @@ class dw_s2_fold:
     def __exit__(self, *exc):
         global DW_S2_FOLD_MAX_BATCH
         DW_S2_FOLD_MAX_BATCH = self._saved
+        dw_s2_fold._lock.release()
         return False
 
 
@@ -266,7 +276,13 @@ def glob_ln(x, params, *, eps=1e-8):
     tensor is read once, vs the sequential mean-then-var formulation
     whose var pass cannot start before the mean is known. f32
     accumulation keeps the cancellation error ~1e-7 relative — far
-    inside the checkpoint-fidelity tolerances."""
+    inside the checkpoint-fidelity tolerances. Known limit of the
+    one-pass form: if var/mean^2 < ~1e-7 (activations sharing a huge
+    common offset with near-zero spread — not a regime TDANet's
+    zero-mean audio chains produce) the subtraction cancels and the
+    variance floor is rounding noise; the reference's torch var() has
+    the same one-pass structure internally, but a bit-exactness claim
+    at that pathology would need the two-pass form."""
     dims = tuple(range(1, x.ndim))
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=dims, keepdims=True)

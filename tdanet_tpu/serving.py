@@ -35,6 +35,18 @@ import jax.numpy as jnp
 from tdanet_tpu import ops
 
 
+def _resolve(fut, result=None, exc=None):
+    """Resolve a Future, tolerating client-side cancellation — an
+    InvalidStateError here must never kill a server worker thread."""
+    try:
+        if exc is not None:
+            fut.set_exception(exc)
+        else:
+            fut.set_result(result)
+    except Exception:
+        pass
+
+
 def _cos(a, b):
     a = np.asarray(a, np.float32)  # int16 emission would overflow a raw dot
     b = np.asarray(b, np.float32)
@@ -253,19 +265,26 @@ class MultiStreamSeparator:
         return out
 
     def flush(self, stream_id) -> np.ndarray:
-        """Process one stream's zero-padded tail and close it."""
+        """Drain any full segments still buffered (a client may flush
+        without a final step()), then process the zero-padded tail and
+        close the stream."""
         st = self._streams[stream_id]
+        parts: List[np.ndarray] = []
+        while st.ready():
+            est = self._dispatch([st.peek_segment()])[0]
+            parts.append(st.finalize(est))
         tail = st.tail_segment()
-        if tail is None:
-            self.close(stream_id)
-            return np.zeros((self.n_src, 0),
-                            np.int16 if self.emit_dtype == "int16"
-                            else np.float32)
-        seg, emitted_overlap, pad_len = tail
-        est = _perm_align(st.tails, self._dispatch([seg])[0],
-                          self.n_src, self.overlap_len)
+        if tail is not None:
+            seg, emitted_overlap, pad_len = tail
+            est = _perm_align(st.tails, self._dispatch([seg])[0],
+                              self.n_src, self.overlap_len)
+            parts.append(est[:, emitted_overlap:self.seg_len - pad_len])
         self.close(stream_id)
-        return est[:, emitted_overlap:self.seg_len - pad_len]
+        if parts:
+            return np.concatenate(parts, axis=1)
+        return np.zeros((self.n_src, 0),
+                        np.int16 if self.emit_dtype == "int16"
+                        else np.float32)
 
 
 class BatchSeparationServer:
@@ -322,6 +341,8 @@ class AsyncBatchServer:
 
     def submit(self, wav: np.ndarray):
         from concurrent.futures import Future
+        if not self._alive:
+            raise RuntimeError("AsyncBatchServer is closed")
         fut: Future = Future()
         self._q.put((np.asarray(wav, np.float32), fut))
         return fut
@@ -333,6 +354,17 @@ class AsyncBatchServer:
         self._alive = False
         self._q.put(None)
         self._worker.join(timeout=10)
+        self._drain_queue(RuntimeError("AsyncBatchServer closed"))
+
+    def _drain_queue(self, exc):
+        import queue as _queue
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except _queue.Empty:
+                return
+            if item is not None:
+                _resolve(item[1], exc=exc)
 
     # -- worker ------------------------------------------------------------
 
@@ -372,26 +404,38 @@ class AsyncBatchServer:
                     self._alive = False
                     break
                 batch.append(nxt)
-            buckets: Dict[int, list] = {}
-            for wav, fut in batch:
-                t = -(-wav.shape[-1] // self.lattice) * self.lattice
-                buckets.setdefault(t, []).append((wav, fut))
-            for target, reqs in buckets.items():
+            self._process(batch)
+        # worker exiting: nothing queued behind the sentinel may hang
+        self._drain_queue(RuntimeError("AsyncBatchServer worker exited"))
+
+    def _process(self, batch):
+        """Resolve every future in ``batch`` — compile/trace errors and
+        already-cancelled futures must not kill the worker thread."""
+        buckets: Dict[int, list] = {}
+        for wav, fut in batch:
+            t = -(-wav.shape[-1] // self.lattice) * self.lattice
+            buckets.setdefault(t, []).append((wav, fut))
+        for target, reqs in buckets.items():
+            try:
                 fwd = self._get_fwd(target)
-                for s in range(0, len(reqs), self.max_batch):
-                    group = reqs[s:s + self.max_batch]
-                    x = np.zeros((self.max_batch, target), np.float32)
-                    for row, (wav, _) in enumerate(group):
-                        x[row, :wav.shape[-1]] = wav
-                    try:
-                        est = np.asarray(fwd(self.params, x))
-                    except Exception as e:  # resolve, don't hang clients
-                        for _, fut in group:
-                            fut.set_exception(e)
-                        continue
-                    for row, (wav, fut) in enumerate(group):
-                        T = wav.shape[-1]
-                        out = est[row, :, :T]
-                        scale = (np.abs(wav).sum()
-                                 / (np.abs(out).sum() + 1e-8))
-                        fut.set_result(out * scale)
+            except Exception as e:  # compile failure: fail this bucket
+                for _, fut in reqs:
+                    _resolve(fut, exc=e)
+                continue
+            for s in range(0, len(reqs), self.max_batch):
+                group = reqs[s:s + self.max_batch]
+                x = np.zeros((self.max_batch, target), np.float32)
+                for row, (wav, _) in enumerate(group):
+                    x[row, :wav.shape[-1]] = wav
+                try:
+                    est = np.asarray(fwd(self.params, x))
+                except Exception as e:  # resolve, don't hang clients
+                    for _, fut in group:
+                        _resolve(fut, exc=e)
+                    continue
+                for row, (wav, fut) in enumerate(group):
+                    T = wav.shape[-1]
+                    out = est[row, :, :T]
+                    scale = (np.abs(wav).sum()
+                             / (np.abs(out).sum() + 1e-8))
+                    _resolve(fut, result=out * scale)

@@ -219,6 +219,15 @@ class AudioTrainer:
             except ValueError:  # non-main thread
                 pass
 
+        try:
+            return self._fit_body(cfg_t, epochs, patience, speed_aug,
+                                  max_failures, resume)
+        finally:
+            for sig, h in old_handlers.items():
+                signal.signal(sig, h)
+
+    def _fit_body(self, cfg_t, epochs, patience, speed_aug, max_failures,
+                  resume):
         self.state = create_train_state(
             self.model, self.optimizer, jax.random.PRNGKey(
                 cfg_t.get("seed", 0)), mesh=self.mesh)
@@ -283,6 +292,11 @@ class AudioTrainer:
                     if self._preempted:
                         break
                 if not train_losses and not self._preempted:
+                    if failures:
+                        raise RuntimeError(
+                            f"every train step this epoch failed "
+                            f"({failures} failure(s) recovered; see the "
+                            f"errors above)")
                     raise RuntimeError(
                         f"every training batch was dropped: batch size "
                         f"must be >= dp ({self.dp}); raise "
@@ -332,8 +346,6 @@ class AudioTrainer:
                         print_only(f"Early stopping at epoch {epoch}")
                         break
 
-        for sig, h in old_handlers.items():
-            signal.signal(sig, h)
         self.ckpt.wait()
         self.finalize()
         return self.history

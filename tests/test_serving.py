@@ -209,3 +209,47 @@ def test_async_batch_server_error_propagates():
         assert ok.shape[0] == 2
     finally:
         server.close()
+
+
+def test_multistream_flush_without_step_drains_backlog():
+    """flush() on a stream holding MORE than one full segment (client
+    never called step()) must separate the backlog, not crash on a
+    negative pad or drop audio."""
+    model, params = build()
+    multi = MultiStreamSeparator(model, params, max_streams=2, segment=1.0,
+                                 overlap=0.25, sample_rate=SR)
+    rng = np.random.default_rng(7)
+    T = int(SR * 2.4)  # > 2 segments buffered
+    multi.open("a")
+    multi.push("a", rng.standard_normal(T).astype(np.float32) * 0.1)
+    out = multi.flush("a")
+    assert out.shape == (2, T)
+
+    # exact single-segment boundary is the other historical edge
+    multi.open("b")
+    multi.push("b", rng.standard_normal(multi.seg_len)
+               .astype(np.float32) * 0.1)
+    out = multi.flush("b")
+    assert out.shape == (2, multi.seg_len)
+
+
+def test_async_batch_server_close_resolves_queued_and_rejects_new():
+    from tdanet_tpu.serving import AsyncBatchServer
+    model, params = build()
+    server = AsyncBatchServer(model, params, max_batch=2, max_wait_ms=1)
+    rng = np.random.default_rng(8)
+    # resolve one normally so the worker is warm
+    server.separate(rng.standard_normal(SR).astype(np.float32) * 0.1,
+                    timeout=300)
+    futs = [server.submit(rng.standard_normal(SR).astype(np.float32) * 0.1)
+            for _ in range(3)]
+    server.close()
+    for f in futs:
+        try:
+            r = f.result(timeout=60)  # either separated before close...
+            assert r.shape[0] == 2
+        except RuntimeError:
+            pass  # ...or resolved with the closed-server error — never hangs
+    import pytest
+    with pytest.raises(RuntimeError):
+        server.submit(np.zeros(SR, np.float32))
