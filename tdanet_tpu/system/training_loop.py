@@ -181,6 +181,19 @@ class AudioTrainer:
             bsh, src[pi * B_loc:(pi + 1) * B_loc], src.shape)
         return gmix, gsrc
 
+    def _sync_flags(self, *flags: bool) -> tuple:
+        """OR-reduce host-side bools across processes. Under multi-host,
+        preempt/step-failure decisions MUST be taken by every rank in the
+        same batch iteration: a lone rank breaking to ckpt.save (an orbax
+        multi-process collective) or restoring alone while peers psum
+        deadlocks the pod. Single-process: a no-op."""
+        if jax.process_count() == 1:
+            return flags
+        from jax.experimental import multihost_utils
+        got = multihost_utils.process_allgather(
+            np.asarray([1 if f else 0 for f in flags], np.int32))
+        return tuple(bool(x) for x in np.max(got, axis=0))
+
     def validate(self, loader) -> float:
         """Mean eval loss. Losses stay ON DEVICE until the final mean —
         a float() per batch would serialize eval through one host
@@ -211,6 +224,13 @@ class AudioTrainer:
         import signal
 
         def _on_term(signum, frame):
+            if self._preempted:
+                # second signal: the graceful path is stuck (e.g. a step
+                # RPC hung on a wedged tunnel) — let the default/raise
+                # behavior kill us so supervisors' `timeout`/SIGTERM
+                # escalation works (observed wedge, round 3)
+                raise KeyboardInterrupt(
+                    f"second signal {signum} during preemption shutdown")
             self._preempted = True
         old_handlers = {}
         for sig in (signal.SIGTERM, signal.SIGINT):
@@ -266,19 +286,43 @@ class AudioTrainer:
                         set_learning_rate(self.state.opt_state, lr)
                     rng = jax.random.PRNGKey(
                         (epoch << 20) | (b & 0xFFFFF))
+                    step_exc = None
                     try:
+                        if max_failures > 0 and train_losses and \
+                                not isinstance(train_losses[-1], float):
+                            # JAX dispatch is async: device-side failures
+                            # in step k usually surface only when its
+                            # result materializes. Blocking on the
+                            # PREVIOUS step's scalar loss inside this try
+                            # keeps one step in flight (dispatch
+                            # pipelining intact) while routing the most
+                            # common real failure mode (RPC/device errors
+                            # on a tunneled chip) into recovery below.
+                            train_losses[-1] = float(train_losses[-1])
                         self.state, loss = self.train_step(
                             self.state, mix, src, rng)
                     except (KeyboardInterrupt, SystemExit):
                         raise
                     except Exception as e:
-                        failures += 1
+                        step_exc = e
                         print_only(
                             f"train step failed ({type(e).__name__}: "
-                            f"{str(e)[:200]}); restoring last checkpoint "
-                            f"[{failures}/{max_failures}]")
+                            f"{str(e)[:200]})")
+                    failed, preempted = self._sync_flags(
+                        step_exc is not None, self._preempted)
+                    self._preempted = preempted
+                    if failed:
+                        failures += 1
+                        print_only(f"restoring last checkpoint on all "
+                                   f"ranks [{failures}/{max_failures}]")
                         if failures > max_failures:
-                            raise
+                            raise step_exc if step_exc is not None else \
+                                RuntimeError("peer rank train step failed")
+                        if step_exc is not None and train_losses and \
+                                not isinstance(train_losses[-1], float):
+                            # the pending loss may be the poisoned result
+                            # whose materialization raised — drop it
+                            train_losses.pop()
                         try:
                             self.state, _ = self.ckpt.restore_last(
                                 self.state)
@@ -291,6 +335,35 @@ class AudioTrainer:
                     train_losses.append(loss)
                     if self._preempted:
                         break
+                if max_failures > 0 and train_losses and \
+                        not isinstance(train_losses[-1], float):
+                    # surface an async failure from the epoch's final step
+                    # here (inside recovery) rather than at the mean below
+                    tail_exc = None
+                    try:
+                        train_losses[-1] = float(train_losses[-1])
+                    except (KeyboardInterrupt, SystemExit):
+                        raise
+                    except Exception as e:
+                        tail_exc = e
+                        print_only(
+                            f"epoch-final train step failed "
+                            f"({type(e).__name__}: {str(e)[:200]})")
+                        train_losses.pop()
+                    (failed,) = self._sync_flags(tail_exc is not None)
+                    if failed:
+                        failures += 1
+                        if failures > max_failures:
+                            raise tail_exc if tail_exc is not None else \
+                                RuntimeError("peer rank train step failed")
+                        try:
+                            self.state, _ = self.ckpt.restore_last(
+                                self.state)
+                        except FileNotFoundError:
+                            self.state = create_train_state(
+                                self.model, self.optimizer,
+                                jax.random.PRNGKey(cfg_t.get("seed", 0)),
+                                mesh=self.mesh)
                 if not train_losses and not self._preempted:
                     if failures:
                         raise RuntimeError(

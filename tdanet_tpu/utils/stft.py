@@ -272,6 +272,11 @@ def pytorch_istft(transform, frame_len, frame_hop, window, n_fft=512, *,
     """
     tdim = transform.ndim
     if tdim == 3:
+        # Deliberate divergence: the reference's 3D unsqueeze is DEAD code
+        # (its dim check at stft.py:458-462 tests the pre-unsqueeze dim, so
+        # 3D (F,T,2) input always raises there). We keep the sensible 3D
+        # support; don't "fix" this back to a raise in a fidelity pass —
+        # see the annotated 3D stft reshape quirk above for the pattern.
         transform = transform[None]
     elif tdim != 4:
         raise RuntimeError(f"Expect 4D tensor, but got {tdim}D")
