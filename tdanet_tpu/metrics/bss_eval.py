@@ -56,13 +56,19 @@ def sdr_matrix(refs: np.ndarray, ests: np.ndarray, filter_length=512,
 
 
 def sdr_pit(refs: np.ndarray, ests: np.ndarray, filter_length=512):
-    """PIT BSS-eval SDR: (mean_sdr_of_best_perm, per_source_sdr, perm)."""
+    """PIT BSS-eval SDR: (mean_sdr_of_best_perm, per_source_sdr, perm).
+
+    Exhaustive search for n <= 3; Hungarian assignment beyond (the PIT
+    loss already supports n_src=4 — the factorial loop would dominate
+    eval there)."""
     mat = sdr_matrix(refs, ests, filter_length)
     n = mat.shape[0]
-    best, best_perm = -np.inf, None
-    for perm in permutations(range(n)):
-        val = np.mean([mat[i, p] for i, p in enumerate(perm)])
-        if val > best:
-            best, best_perm = val, perm
+    if n <= 3:
+        best_perm = max(permutations(range(n)),
+                        key=lambda pm: sum(mat[i, p]
+                                           for i, p in enumerate(pm)))
+    else:
+        from scipy.optimize import linear_sum_assignment
+        best_perm = tuple(linear_sum_assignment(-mat)[1])
     per_src = np.array([mat[i, p] for i, p in enumerate(best_perm)])
-    return best, per_src, best_perm
+    return float(per_src.mean()), per_src, best_perm

@@ -17,3 +17,31 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+# Modules excluded from `-m fast` (e2e training, torch-oracle fidelity
+# sweeps, subprocess-spawning suites). Everything else is marked fast;
+# `python -m pytest tests/ -m fast -q` is the <10 min pre-commit gate.
+SLOW_MODULES = {
+    "test_e2e_train.py",
+    "test_multihost.py",
+    "test_driver_contract.py",
+    "test_resilience.py",
+    "test_tdanet_best_fidelity.py",
+    "test_variants_fidelity.py",
+    "test_emcad_models_fidelity.py",
+    "test_grad_fidelity.py",
+    "test_golden_audio_mix.py",
+    "test_training_learns.py",
+    "test_ckpt_interchange.py",
+    "test_training_parity.py",
+    "test_worker_recycle.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = os.path.basename(str(item.fspath))
+        marker = "slow" if name in SLOW_MODULES else "fast"
+        item.add_marker(getattr(pytest.mark, marker))
