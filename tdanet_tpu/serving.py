@@ -121,6 +121,19 @@ class _StreamState:
         seg = np.concatenate([self.buffer, np.zeros(pad_len, np.float32)])
         return seg, emitted_overlap, pad_len
 
+    def export(self) -> dict:
+        """Picklable snapshot: everything a fresh process needs to
+        continue this stream with zero dropped or repeated samples."""
+        return {"buffer": self.buffer.copy(),
+                "tails": None if self.tails is None else self.tails.copy(),
+                "consumed": self.consumed}
+
+    def restore(self, snap: dict) -> None:
+        self.buffer = np.asarray(snap["buffer"], np.float32).copy()
+        self.tails = None if snap["tails"] is None else \
+            np.asarray(snap["tails"]).copy()
+        self.consumed = int(snap["consumed"])
+
 
 class StreamingSeparator:
     """Online chunked separation with PIT-consistent stitching.
@@ -133,15 +146,20 @@ class StreamingSeparator:
     """
 
     def __init__(self, model, params, segment=4.0, overlap=0.25,
-                 sample_rate=8000, compute_dtype=None, dw_fold=True):
+                 sample_rate=8000, compute_dtype=None, dw_fold=True,
+                 num_blocks=None):
         self.model, self.params = model, params
         self.sr = sample_rate
         self.seg_len = int(segment * sample_rate)
         self.overlap_len = int(self.seg_len * overlap)
         self.hop = self.seg_len - self.overlap_len
         self.n_src = getattr(model, "num_sources", 2)
+        # num_blocks: early-exit depth override (latency/quality knob on
+        # the shared-weight recurrence; docs/PERF.md early-exit study)
+        kw = {} if num_blocks is None else {"num_blocks": num_blocks}
         self._fwd = jax.jit(
-            lambda p, x: model.apply(p, x, compute_dtype=compute_dtype))
+            lambda p, x: model.apply(p, x, compute_dtype=compute_dtype,
+                                     **kw))
         # warm compile on the fixed segment shape; streaming is
         # latency-bound at batch 1, where the phase-split stride-2 dw
         # conv beats XLA's space-to-batched conv (+19% at B=4,
@@ -153,6 +171,16 @@ class StreamingSeparator:
     def reset(self):
         self._state = _StreamState(self.n_src, self.seg_len,
                                    self.overlap_len)
+
+    def export_state(self) -> dict:
+        """Picklable mid-stream state for worker handoff (the documented
+        recovery/recycle story: buffered samples + overlap tails fully
+        determine the continuation)."""
+        return self._state.export()
+
+    def restore_state(self, snap: dict) -> None:
+        self.reset()
+        self._state.restore(snap)
 
     def _separate(self, seg: np.ndarray) -> np.ndarray:
         return np.asarray(self._fwd(self.params, jnp.asarray(seg[None])))[0]
@@ -199,15 +227,17 @@ class MultiStreamSeparator:
 
     def __init__(self, model, params, max_streams=4, segment=4.0,
                  overlap=0.25, sample_rate=8000, compute_dtype=None,
-                 emit_dtype="float32", dw_fold=True):
+                 emit_dtype="float32", dw_fold=True, num_blocks=None):
         self.model, self.params = model, params
         self.max_streams = max_streams
         self.seg_len = int(segment * sample_rate)
         self.overlap_len = int(self.seg_len * overlap)
         self.n_src = getattr(model, "num_sources", 2)
         self.emit_dtype = emit_dtype
+        kw = {} if num_blocks is None else {"num_blocks": num_blocks}
         single = lambda p, w: model.apply(p, w[None],
-                                          compute_dtype=compute_dtype)[0]
+                                          compute_dtype=compute_dtype,
+                                          **kw)[0]
 
         def fwd(p, x):
             est = jax.vmap(single, in_axes=(None, 0))(p, x)
@@ -234,6 +264,16 @@ class MultiStreamSeparator:
             raise ValueError(f"max_streams={self.max_streams} exceeded")
         self._streams[stream_id] = _StreamState(
             self.n_src, self.seg_len, self.overlap_len)
+
+    def export_state(self) -> dict:
+        """Picklable {stream_id: snapshot} of every open stream."""
+        return {sid: st.export() for sid, st in self._streams.items()}
+
+    def restore_state(self, state: dict) -> None:
+        self._streams.clear()
+        for sid, snap in state.items():
+            self.open(sid)
+            self._streams[sid].restore(snap)
 
     def close(self, stream_id) -> None:
         self._streams.pop(stream_id, None)
@@ -308,32 +348,54 @@ class AsyncBatchServer:
     ``BatchSeparationServer`` and the stateful streaming engines).
 
     ``submit(wav)`` returns a ``concurrent.futures.Future`` immediately;
-    a worker thread drains the request queue, coalescing up to
+    a dispatch thread drains the request queue, coalescing up to
     ``max_batch`` requests or waiting at most ``max_wait_ms`` for the
     batch to fill, buckets them by lattice-padded length (one compiled
     program per bucket, shapes static), and resolves every future with
     the (n_src, T) separated audio — same trimming + per-utterance
     energy renormalization as the eval path (utils/separator.py).
 
+    CONTINUOUS (pipelined) batching: JAX dispatch is asynchronous, so
+    the dispatch thread hands the in-flight device result to a separate
+    resolver thread and immediately coalesces batch k+1 while batch k
+    computes — host coalescing, device compute, and result readback
+    overlap. ``pipeline_depth`` bounds in-flight batches; when the
+    device falls behind, the bounded handoff queue applies backpressure
+    and arriving requests accumulate, so later batches coalesce FULL
+    without waiting — the batching policy adapts to load by itself
+    (max_wait only ever delays dispatch on an idle device).
+
     vmap preserves the reference's per-utterance batch=1 MHA semantics;
     batches are padded to ``max_batch`` rows so each bucket compiles
-    exactly once.
+    exactly once. Reference capability being replaced: the batch=1 eval
+    loop (audio_test.py:111-134).
     """
 
     def __init__(self, model, params, max_batch=8, max_wait_ms=5.0,
-                 compute_dtype=None, dw_fold=None):
+                 compute_dtype=None, dw_fold=None, pipeline_depth=2,
+                 num_blocks=None):
         import queue as _queue
         self.model, self.params = model, params
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
         self.compute_dtype = compute_dtype
+        self.num_blocks = num_blocks
         self.lattice = getattr(model, "lcm", 1)
         # default the fold fast path on for latency-sized batches
         self.dw_fold = dw_fold if dw_fold is not None else max_batch <= 8
         self._fwd_cache: Dict[int, object] = {}
         self._q: "_queue.Queue" = _queue.Queue()
+        self._inflight: "_queue.Queue" = _queue.Queue(
+            maxsize=max(1, pipeline_depth))
         self._alive = True
         import threading
+        # serializes submit's alive-check+enqueue against close's
+        # alive-flip: without it a submit racing close can enqueue after
+        # both drains ran, leaving a future that never resolves
+        self._submit_lock = threading.Lock()
+        self._resolver = threading.Thread(target=self._resolve_loop,
+                                          daemon=True)
+        self._resolver.start()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -341,19 +403,22 @@ class AsyncBatchServer:
 
     def submit(self, wav: np.ndarray):
         from concurrent.futures import Future
-        if not self._alive:
-            raise RuntimeError("AsyncBatchServer is closed")
-        fut: Future = Future()
-        self._q.put((np.asarray(wav, np.float32), fut))
+        with self._submit_lock:
+            if not self._alive:
+                raise RuntimeError("AsyncBatchServer is closed")
+            fut: Future = Future()
+            self._q.put((np.asarray(wav, np.float32), fut))
         return fut
 
     def separate(self, wav: np.ndarray, timeout=None) -> np.ndarray:
         return self.submit(wav).result(timeout=timeout)
 
     def close(self):
-        self._alive = False
-        self._q.put(None)
+        with self._submit_lock:
+            self._alive = False
+            self._q.put(None)
         self._worker.join(timeout=10)
+        self._resolver.join(timeout=10)
         self._drain_queue(RuntimeError("AsyncBatchServer closed"))
 
     def _drain_queue(self, exc):
@@ -366,12 +431,14 @@ class AsyncBatchServer:
             if item is not None:
                 _resolve(item[1], exc=exc)
 
-    # -- worker ------------------------------------------------------------
+    # -- dispatch thread ---------------------------------------------------
 
     def _get_fwd(self, target: int):
         if target not in self._fwd_cache:
+            kw = {} if self.num_blocks is None else \
+                {"num_blocks": self.num_blocks}
             single = lambda p, w: self.model.apply(
-                p, w[None], compute_dtype=self.compute_dtype)[0]
+                p, w[None], compute_dtype=self.compute_dtype, **kw)[0]
             fwd = jax.jit(lambda p, x: jax.vmap(
                 single, in_axes=(None, 0))(p, x))
             with ops.dw_s2_fold() if self.dw_fold else _nullcontext():
@@ -404,13 +471,16 @@ class AsyncBatchServer:
                     self._alive = False
                     break
                 batch.append(nxt)
-            self._process(batch)
-        # worker exiting: nothing queued behind the sentinel may hang
+            self._dispatch(batch)
+        # tell the resolver to finish what's in flight, then exit
+        self._inflight.put(None)
+        # nothing queued behind the sentinel may hang
         self._drain_queue(RuntimeError("AsyncBatchServer worker exited"))
 
-    def _process(self, batch):
-        """Resolve every future in ``batch`` — compile/trace errors and
-        already-cancelled futures must not kill the worker thread."""
+    def _dispatch(self, batch):
+        """Bucket + launch device work WITHOUT materializing results;
+        the resolver thread blocks on readback. Compile/dispatch errors
+        resolve the affected futures here and must not kill the thread."""
         buckets: Dict[int, list] = {}
         for wav, fut in batch:
             t = -(-wav.shape[-1] // self.lattice) * self.lattice
@@ -428,14 +498,33 @@ class AsyncBatchServer:
                 for row, (wav, _) in enumerate(group):
                     x[row, :wav.shape[-1]] = wav
                 try:
-                    est = np.asarray(fwd(self.params, x))
+                    est_dev = fwd(self.params, x)  # async: returns now
                 except Exception as e:  # resolve, don't hang clients
                     for _, fut in group:
                         _resolve(fut, exc=e)
                     continue
-                for row, (wav, fut) in enumerate(group):
-                    T = wav.shape[-1]
-                    out = est[row, :, :T]
-                    scale = (np.abs(wav).sum()
-                             / (np.abs(out).sum() + 1e-8))
-                    _resolve(fut, result=out * scale)
+                # bounded handoff: blocks when pipeline_depth batches
+                # are in flight -> requests pile up -> next batch
+                # coalesces full instantly (adaptive under load)
+                self._inflight.put((est_dev, group))
+
+    # -- resolver thread ---------------------------------------------------
+
+    def _resolve_loop(self):
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                return
+            est_dev, group = item
+            try:
+                est = np.asarray(est_dev)  # blocks on device + transfer
+            except Exception as e:
+                for _, fut in group:
+                    _resolve(fut, exc=e)
+                continue
+            for row, (wav, fut) in enumerate(group):
+                T = wav.shape[-1]
+                out = est[row, :, :T]
+                scale = (np.abs(wav).sum()
+                         / (np.abs(out).sum() + 1e-8))
+                _resolve(fut, result=out * scale)
