@@ -28,6 +28,10 @@ def main(argv=None):
     p.add_argument("--save_path", default="./separated")
     p.add_argument("--batch_size", type=int, default=8,
                    help="bucketed batched eval; 1 = reference behavior")
+    p.add_argument("--num_blocks", type=int, default=None,
+                   help="early-exit depth override on the shared-weight "
+                        "recurrence (e.g. 12 = -0.26 dB for +30%% RTFx, "
+                        "docs/PERF.md)")
     args, overrides = p.parse_known_args(argv)
 
     conf = load_yaml(args.conf_dir)
@@ -71,7 +75,7 @@ def main(argv=None):
             lengths = [test_set.mix[i][1] for i in range(len(test_set))]
             stream = separate_batched_stream(
                 model, params, lengths, lambda i: test_set[i],
-                batch_size=args.batch_size)
+                batch_size=args.batch_size, num_blocks=args.num_blocks)
             for done, (_, item, est) in enumerate(
                     progress.track(stream, total=len(test_set))):
                 mix, sources, key = item
@@ -79,7 +83,8 @@ def main(argv=None):
         else:
             for idx in progress.track(range(len(test_set))):
                 mix, sources, key = test_set[idx]
-                est = np.asarray(separate(model, params, mix))
+                est = np.asarray(separate(model, params, mix,
+                                          num_blocks=args.num_blocks))
                 emit(idx, mix, sources, key, est)
     final = metrics.final()
     print("final:", final)

@@ -368,8 +368,11 @@ class UConvBlock:
         for k in range(1, self.depth):
             output.append(self.spp_dw[k].apply(p["spp_dw"][str(k)],
                                                output[-1]))
-        # remat landmarks (no-ops unless Recurrent(remat="scales"))
-        output = [checkpoint_name(o, "pyr_scale") for o in output]
+        # remat landmarks (no-ops unless Recurrent(remat="scales"));
+        # store_activation: 8-bit storage experiment hooks (no-ops
+        # unless ops.act_storage is active — see ops/basic.py)
+        output = [checkpoint_name(ops.store_activation(o), "pyr_scale")
+                  for o in output]
 
         coarsest = output[-1].shape[-1]
         global_f = output[-1]  # already at coarsest; pool is identity
@@ -377,12 +380,13 @@ class UConvBlock:
             global_f = global_f + ops.adaptive_avg_pool1d(fea, coarsest)
         global_f = self.globalatt.apply(p["globalatt"], global_f,
                                         training=training, rng=rng)
-        global_f = checkpoint_name(global_f, "ga_out")
+        global_f = checkpoint_name(ops.store_activation(global_f), "ga_out")
 
         x_fused = [self.loc_glo_fus[i].apply(p["loc_glo_fus"][str(i)],
                                              output[i], global_f)
                    for i in range(self.depth)]
-        x_fused = [checkpoint_name(f, "fused_scale") for f in x_fused]
+        x_fused = [checkpoint_name(ops.store_activation(f), "fused_scale")
+                   for f in x_fused]
 
         expanded = None
         for i in range(self.depth - 2, -1, -1):
@@ -525,7 +529,14 @@ class Recurrent:
                                          groups=self.out_channels),
                     "1": ops.prelu_init()}}
 
-    def apply(self, p, x, *, training=False, rng=None):
+    def apply(self, p, x, *, training=False, rng=None, n_iter=None):
+        """``n_iter`` overrides the iteration count at apply time (early
+        exit / variable-depth inference: the weights are SHARED across
+        iterations, so any depth <= the trained one is a valid program;
+        reference analog: the fixed 16-iteration loop,
+        TDANet_best.py:383-399). Static per trace — each depth is its
+        own compiled program."""
+        it_count = self.iter if n_iter is None else int(n_iter)
         mixture = x
 
         def unet_fn(params, inp, it_rng):
@@ -549,17 +560,18 @@ class Recurrent:
 
         x = unet_fn(p["unet"], x, _fold(rng, 0))
 
-        if self.iter > 1:
+        if it_count > 1:
             if rng is not None:
                 iter_rngs = jax.random.split(
-                    jax.random.fold_in(rng, 999), self.iter - 1)
+                    jax.random.fold_in(rng, 999), it_count - 1)
             else:
-                iter_rngs = jnp.zeros((self.iter - 1, 2), jnp.uint32)
+                iter_rngs = jnp.zeros((it_count - 1, 2), jnp.uint32)
 
             def body(carry, it_rng):
                 r = it_rng if rng is not None else None
                 out = unet_fn(p["unet"], concat(mixture + carry), r)
-                return out, None
+                # 8-bit carry storage (no-op unless ops.act_storage)
+                return ops.store_activation(out), None
 
             x, _ = jax.lax.scan(body, x, iter_rngs)
         return x

@@ -56,7 +56,10 @@ class TDANetBest(BaseModel):
         }
 
     def apply(self, params, input_wav, *, training=False, rng=None,
-              compute_dtype=None):
+              compute_dtype=None, num_blocks=None):
+        """``num_blocks`` overrides the recurrence depth at apply time
+        (early-exit inference over the shared-weight separator; see
+        Recurrent.apply n_iter)."""
         was_one_d = input_wav.ndim == 1
         if was_one_d:
             input_wav = input_wav[None]
@@ -75,7 +78,8 @@ class TDANetBest(BaseModel):
         s = x
         x = ops.glob_ln(x, params["ln"])
         x = ops.conv1d(x, params["bottleneck"])
-        x = self.sm.apply(params["sm"], x, training=training, rng=rng)
+        x = self.sm.apply(params["sm"], x, training=training, rng=rng,
+                          n_iter=num_blocks)
 
         x = ops.prelu(x, params["mask_net"]["0"])
         x = ops.conv1d(x, params["mask_net"]["1"])

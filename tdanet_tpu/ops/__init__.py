@@ -1,10 +1,12 @@
 """Core ops: torch-parity reference implementations + TPU fast paths."""
 
 from tdanet_tpu.ops.basic import (
+    act_storage,
     adaptive_avg_pool1d,
     avg_pool_matrix,
     conv1d,
     dw_s2_fold,
+    store_activation,
     conv1d_init,
     conv1d_xavier_init,
     conv_transpose1d,
@@ -26,6 +28,7 @@ from tdanet_tpu.ops.basic import (
 )
 
 __all__ = [
+    "act_storage", "store_activation",
     "adaptive_avg_pool1d", "avg_pool_matrix", "conv1d", "conv1d_init", "conv1d_xavier_init",
     "conv_transpose1d", "dw_s2_fold", "conv_transpose1d_xavier_init", "drop_path",
     "dropout", "glob_ln", "glob_ln_init", "group_norm1",

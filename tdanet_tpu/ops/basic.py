@@ -139,6 +139,59 @@ class dw_s2_fold:
         return False
 
 
+# Activation-storage quantization (inference experiment, VERDICT r2 #3):
+# the model is HBM-bandwidth-bound (83% of peak, BENCH_r02), so storing
+# the big inter-op tensors in the 16x recurrence (pyramid scales, GA
+# output, fused scales, scan carry) at 8 bits would halve their traffic
+# IF XLA materializes the quantized buffer at the fusion boundary.
+# ``act_storage("int8"|"fp8_e4m3"|"fp8_e5m2")`` wraps a trace;
+# ``store_activation(x)`` is inserted at the landmark tensors in
+# UConvBlock/Recurrent. Inference-only: int8 round() has zero gradient.
+ACT_STORAGE_DTYPE = None
+
+
+class act_storage:
+    """Context manager: trace model code with 8-bit activation storage at
+    the recurrence landmarks. Wrap the jit WARM call (flag read at trace
+    time); entries serialized like dw_s2_fold."""
+
+    import threading as _threading
+    _lock = _threading.RLock()
+
+    def __init__(self, dtype="int8"):
+        if dtype not in (None, "int8", "fp8_e4m3", "fp8_e5m2"):
+            raise ValueError(f"unsupported act storage dtype {dtype!r}")
+        self.dtype = dtype
+
+    def __enter__(self):
+        global ACT_STORAGE_DTYPE
+        act_storage._lock.acquire()
+        self._saved = ACT_STORAGE_DTYPE
+        ACT_STORAGE_DTYPE = self.dtype
+        return self
+
+    def __exit__(self, *exc):
+        global ACT_STORAGE_DTYPE
+        ACT_STORAGE_DTYPE = self._saved
+        act_storage._lock.release()
+        return False
+
+
+def store_activation(x):
+    """Quantize->dequantize ``x`` per the active act_storage mode (identity
+    when off). int8 uses a dynamic per-tensor absmax scale; fp8 is a plain
+    cast (dynamic range covers the normed activations)."""
+    mode = ACT_STORAGE_DTYPE
+    if mode is None:
+        return x
+    if mode == "int8":
+        scale = jnp.max(jnp.abs(x)) / 127.0 + 1e-12
+        q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+        return q.astype(x.dtype) * scale.astype(x.dtype)
+    fp8 = jnp.float8_e4m3fn if mode == "fp8_e4m3" else jnp.float8_e5m2
+    return x.astype(fp8).astype(x.dtype)
+
+
 def conv1d(x, params, *, stride=1, padding=0, dilation=1, groups=1):
     """torch-semantics Conv1d. x: (B, C, T); weight (O, I/g, K).
 

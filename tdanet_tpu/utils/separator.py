@@ -12,15 +12,22 @@ import jax
 import jax.numpy as jnp
 
 
+def _depth_kw(num_blocks):
+    """Early-exit depth override kwarg (only models exposing the knob
+    accept it; None keeps every model's trained depth)."""
+    return {} if num_blocks is None else {"num_blocks": num_blocks}
+
+
 @lru_cache(maxsize=64)
-def _compiled_forward(model, length, compute_dtype):
+def _compiled_forward(model, length, compute_dtype, num_blocks=None):
+    kw = _depth_kw(num_blocks)
     return jax.jit(
         lambda params, wav: model.apply(params, wav,
-                                        compute_dtype=compute_dtype))
+                                        compute_dtype=compute_dtype, **kw))
 
 
 def separate_batched(model, params, wavs, batch_size=8, compute_dtype=None,
-                     lattice=None):
+                     lattice=None, num_blocks=None):
     """Batched bucketed separation of variable-length utterances.
 
     The reference eval loop runs batch=1 with a fresh dynamic shape per
@@ -45,12 +52,14 @@ def separate_batched(model, params, wavs, batch_size=8, compute_dtype=None,
         buckets.setdefault(target, []).append(i)
 
     fwd_cache = {}
+    kw = _depth_kw(num_blocks)
 
     def get_fwd(target):
         if target not in fwd_cache:
             fwd_cache[target] = jax.jit(jax.vmap(
                 lambda p, w: model.apply(p, w[None],
-                                         compute_dtype=compute_dtype)[0],
+                                         compute_dtype=compute_dtype,
+                                         **kw)[0],
                 in_axes=(None, 0)))
         return fwd_cache[target]
 
@@ -73,7 +82,8 @@ def separate_batched(model, params, wavs, batch_size=8, compute_dtype=None,
     return outputs
 
 
-def separate(model, params, wav, compute_dtype=None, lattice=None):
+def separate(model, params, wav, compute_dtype=None, lattice=None,
+             num_blocks=None):
     """wav: (T,) or (B, T) numpy/jax -> separated (n_src, T)/(B, n_src, T).
 
     Variable lengths are bucketed up to the model's lattice so repeated
@@ -89,7 +99,7 @@ def separate(model, params, wav, compute_dtype=None, lattice=None):
     target = -(-T // lattice) * lattice
     if target != T:
         x = jnp.pad(x, ((0, 0), (0, target - T)))
-    fwd = _compiled_forward(model, target, compute_dtype)
+    fwd = _compiled_forward(model, target, compute_dtype, num_blocks)
     out = fwd(params, x)[..., :T]
     x = x[..., :T]
     # per-utterance energy renormalization over the true region
@@ -104,7 +114,7 @@ def separate(model, params, wav, compute_dtype=None, lattice=None):
 
 def separate_batched_stream(model, params, lengths, get_item,
                             batch_size=8, compute_dtype=None, lattice=None,
-                            prefetch=2):
+                            prefetch=2, num_blocks=None):
     """Streaming variant of :func:`separate_batched` for eval pipelines.
 
     Same bucketed vmap semantics, but audio IO overlaps device compute
@@ -150,12 +160,14 @@ def separate_batched_stream(model, params, lengths, get_item,
     t.start()
 
     fwd_cache = {}
+    kw = _depth_kw(num_blocks)
 
     def get_fwd(target):
         if target not in fwd_cache:
             fwd_cache[target] = jax.jit(jax.vmap(
                 lambda p, w: model.apply(p, w[None],
-                                         compute_dtype=compute_dtype)[0],
+                                         compute_dtype=compute_dtype,
+                                         **kw)[0],
                 in_axes=(None, 0)))
         return fwd_cache[target]
 
