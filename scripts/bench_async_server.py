@@ -85,20 +85,30 @@ def closed_loop(server, clips, n_clients, n_requests, clip_s):
 
 
 def open_loop(server, clips, rate_hz, n_requests, clip_s):
-    """Uniform arrivals at rate_hz; measures latency under offered load."""
-    futs = []
+    """Uniform arrivals at rate_hz; measures latency under offered load.
+
+    Latency is stamped by a done-callback at RESOLVE time (the resolver
+    thread fires it inside set_result) — computing it when the client
+    later observes the future would inflate early requests by the whole
+    submission window."""
+    lat, futs = [], []
+
+    def submit(clip):
+        ts = time.perf_counter()
+        fut = server.submit(clip)
+        fut.add_done_callback(
+            lambda f, ts=ts: lat.append(time.perf_counter() - ts))
+        return fut
+
     t0 = time.perf_counter()
     for i in range(n_requests):
         target = t0 + i / rate_hz
         now = time.perf_counter()
         if target > now:
             time.sleep(target - now)
-        futs.append((time.perf_counter(),
-                     server.submit(clips[i % len(clips)])))
-    lat = []
-    for ts, f in futs:
+        futs.append(submit(clips[i % len(clips)]))
+    for f in futs:
         f.result(timeout=300)
-        lat.append(time.perf_counter() - ts)
     wall = time.perf_counter() - t0
     lat = np.array(sorted(lat))
     return {
@@ -131,8 +141,9 @@ def main():
         max_wait_ms=args.max_wait_ms, pipeline_depth=args.pipeline_depth,
         compute_dtype=jnp.bfloat16 if args.bf16 else None)
     try:
-        # warm everything (bucket compile) before timing
-        server.separate(clips[0], timeout=600)
+        # warm everything (bucket compile) before timing; the 16-block
+        # remote compile can exceed 10 min on a contended host
+        server.separate(clips[0], timeout=1800)
 
         row = closed_loop(server, clips, n_clients=4 * args.max_batch,
                           n_requests=args.n_requests, clip_s=args.clip_s)

@@ -447,9 +447,40 @@ class AsyncBatchServer:
             self._fwd_cache[target] = fwd
         return self._fwd_cache[target]
 
-    def _run(self):
+    def _coalesce(self, first):
+        """Continuous-batching policy: fill up to ``max_batch``, waiting
+        at most ``max_wait`` on an idle device — but while the in-flight
+        pipe is FULL, waiting costs nothing (a slot must open before
+        this batch could run anyway), so keep coalescing past the
+        deadline. This is what keeps batches full under load instead of
+        shipping partial batches into a standing queue."""
         import queue as _queue
         import time as _time
+        batch = [first]
+        deadline = _time.monotonic() + self.max_wait
+        while self._alive and len(batch) < self.max_batch:
+            now = _time.monotonic()
+            past = now >= deadline
+            if past and not self._inflight.full():
+                break
+            # past-deadline polls must be fine-grained: the break
+            # condition is an inflight slot opening, and a coarse poll
+            # would add its whole period to the batch's latency
+            timeout = 0.005 if past else max(deadline - now, 0.002)
+            try:
+                nxt = self._q.get(timeout=timeout)
+            except _queue.Empty:
+                if not self._inflight.full():
+                    break
+                continue
+            if nxt is None:
+                self._alive = False
+                break
+            batch.append(nxt)
+        return batch
+
+    def _run(self):
+        import queue as _queue
         while self._alive:
             try:
                 item = self._q.get(timeout=0.2)
@@ -457,21 +488,7 @@ class AsyncBatchServer:
                 continue
             if item is None:
                 break
-            batch = [item]
-            deadline = _time.monotonic() + self.max_wait
-            while len(batch) < self.max_batch:
-                left = deadline - _time.monotonic()
-                if left <= 0:
-                    break
-                try:
-                    nxt = self._q.get(timeout=left)
-                except _queue.Empty:
-                    break
-                if nxt is None:
-                    self._alive = False
-                    break
-                batch.append(nxt)
-            self._dispatch(batch)
+            self._dispatch(self._coalesce(item))
         # tell the resolver to finish what's in flight, then exit
         self._inflight.put(None)
         # nothing queued behind the sentinel may hang
