@@ -28,15 +28,26 @@ class CheckpointManager:
     def __init__(self, exp_dir: str, top_k: int = 3):
         self.exp_dir = os.path.abspath(exp_dir)
         os.makedirs(self.exp_dir, exist_ok=True)
+        # The two managers save CONCURRENTLY (async) under multi-process:
+        # each generates coordination-service barrier keys from its own
+        # counter, so without distinct prefixes both emit e.g.
+        # `_async_write_complete.0` and the pod dies with "Barrier ...
+        # is already ongoing" (observed: 2-process recovery test, rank 1
+        # killed mid-save -> peer stuck at the commit barrier).
         self._best = ocp.CheckpointManager(
             os.path.join(self.exp_dir, "best"),
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=top_k,
                 best_fn=lambda m: m["val_loss"],
-                best_mode="min"))
+                best_mode="min",
+                multiprocessing_options=ocp.options.MultiprocessingOptions(
+                    barrier_sync_key_prefix="best")))
         self._last = ocp.CheckpointManager(
             os.path.join(self.exp_dir, "last"),
-            options=ocp.CheckpointManagerOptions(max_to_keep=1))
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=1,
+                multiprocessing_options=ocp.options.MultiprocessingOptions(
+                    barrier_sync_key_prefix="last")))
 
     def save(self, step: int, state: TrainState, val_loss: float,
              extras: Optional[Dict[str, Any]] = None):
