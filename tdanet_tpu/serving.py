@@ -330,16 +330,19 @@ class MultiStreamSeparator:
 class BatchSeparationServer:
     """Offline micro-batching engine over bucketed batched separation."""
 
-    def __init__(self, model, params, batch_size=8, compute_dtype=None):
+    def __init__(self, model, params, batch_size=8, compute_dtype=None,
+                 mesh=None):
         self.model, self.params = model, params
         self.batch_size = batch_size
         self.compute_dtype = compute_dtype
+        self.mesh = mesh  # dp scale-out (see separate_batched)
 
     def separate(self, wavs):
         from tdanet_tpu.utils.separator import separate_batched
         return separate_batched(self.model, self.params, wavs,
                                 batch_size=self.batch_size,
-                                compute_dtype=self.compute_dtype)
+                                compute_dtype=self.compute_dtype,
+                                mesh=self.mesh)
 
 
 class AsyncBatchServer:
@@ -373,10 +376,24 @@ class AsyncBatchServer:
 
     def __init__(self, model, params, max_batch=8, max_wait_ms=5.0,
                  compute_dtype=None, dw_fold=None, pipeline_depth=2,
-                 num_blocks=None):
+                 num_blocks=None, mesh=None):
         import queue as _queue
         self.model, self.params = model, params
         self.max_batch = max_batch
+        # dp scale-out: shard the padded batch axis over the mesh's 'dp'
+        # devices, params replicated — one compiled program, N chips
+        # each separating max_batch/N utterances per dispatch
+        self.mesh = mesh
+        self._x_sharding = None
+        if mesh is not None:
+            from tdanet_tpu.parallel.mesh import batch_sharding, replicated
+            dp = mesh.shape["dp"]
+            if max_batch % dp:
+                raise ValueError(
+                    f"max_batch ({max_batch}) must divide the mesh dp "
+                    f"axis ({dp}) for sharded serving")
+            self._x_sharding = batch_sharding(mesh)
+            self.params = jax.device_put(params, replicated(mesh))
         self.max_wait = max_wait_ms / 1e3
         self.compute_dtype = compute_dtype
         self.num_blocks = num_blocks
@@ -442,10 +459,16 @@ class AsyncBatchServer:
             fwd = jax.jit(lambda p, x: jax.vmap(
                 single, in_axes=(None, 0))(p, x))
             with ops.dw_s2_fold() if self.dw_fold else _nullcontext():
-                fwd(self.params,
-                    jnp.zeros((self.max_batch, target), jnp.float32))
+                fwd(self.params, self._place(
+                    np.zeros((self.max_batch, target), np.float32)))
             self._fwd_cache[target] = fwd
         return self._fwd_cache[target]
+
+    def _place(self, x):
+        """Host batch -> device(s): dp-sharded when serving on a mesh."""
+        if self._x_sharding is not None:
+            return jax.device_put(x, self._x_sharding)
+        return jnp.asarray(x)
 
     def _coalesce(self, first):
         """Continuous-batching policy: fill up to ``max_batch``, waiting
@@ -515,7 +538,7 @@ class AsyncBatchServer:
                 for row, (wav, _) in enumerate(group):
                     x[row, :wav.shape[-1]] = wav
                 try:
-                    est_dev = fwd(self.params, x)  # async: returns now
+                    est_dev = fwd(self.params, self._place(x))  # async
                 except Exception as e:  # resolve, don't hang clients
                     for _, fut in group:
                         _resolve(fut, exc=e)
@@ -528,6 +551,15 @@ class AsyncBatchServer:
     # -- resolver thread ---------------------------------------------------
 
     def _resolve_loop(self):
+        # One batch per materialization, oldest first. Joint readback of
+        # everything in flight (jax.device_get([...])) was measured and
+        # REJECTED: despite a ~20% win in an isolated transfer
+        # microbench, end-to-end overload throughput halved (80x vs
+        # 170x aggregate) — the joint fetch waits on the NEWEST batch's
+        # compute before resolving the oldest batch's futures, and
+        # transfer stops overlapping compute. (Ready-gated grouping is
+        # not possible: Array.is_ready() answers locally/optimistically
+        # on the tunneled backend.) Numbers in docs/PERF.md.
         while True:
             item = self._inflight.get()
             if item is None:

@@ -27,7 +27,7 @@ def _compiled_forward(model, length, compute_dtype, num_blocks=None):
 
 
 def separate_batched(model, params, wavs, batch_size=8, compute_dtype=None,
-                     lattice=None, num_blocks=None):
+                     lattice=None, num_blocks=None, mesh=None):
     """Batched bucketed separation of variable-length utterances.
 
     The reference eval loop runs batch=1 with a fresh dynamic shape per
@@ -43,7 +43,22 @@ def separate_batched(model, params, wavs, batch_size=8, compute_dtype=None,
     utterances and change results vs the reference's batch=1 eval. vmap
     keeps exact batch=1 semantics per example while XLA still executes
     the whole batch in one fused program.
+
+    ``mesh``: scale-out over a device mesh (beyond reference, which is
+    single-GPU at eval) — the padded batch axis shards over 'dp' and
+    params replicate, so N chips each separate batch_size/N utterances
+    of the same compiled program. Batches are padded to a full
+    ``batch_size`` rows (static shape, divides dp).
     """
+    if mesh is not None:
+        from tdanet_tpu.parallel.mesh import batch_sharding, replicated
+        dp = mesh.shape["dp"]
+        if batch_size % dp:
+            raise ValueError(
+                f"batch_size ({batch_size}) must divide the mesh dp axis "
+                f"({dp}) for sharded separation")
+        x_sharding = batch_sharding(mesh)
+        params = jax.device_put(params, replicated(mesh))
     lattice = lattice or getattr(model, "lcm", 1)
     buckets = {}
     for i, w in enumerate(wavs):
@@ -68,11 +83,14 @@ def separate_batched(model, params, wavs, batch_size=8, compute_dtype=None,
         fwd = get_fwd(target)
         for s in range(0, len(idxs), batch_size):
             chunk = idxs[s:s + batch_size]
-            batch = np.zeros((len(chunk), target), np.float32)
+            rows = batch_size if mesh is not None else len(chunk)
+            batch = np.zeros((rows, target), np.float32)
             for row, i in enumerate(chunk):
                 w = np.asarray(wavs[i], np.float32)
                 batch[row, :w.shape[-1]] = w
-            est = np.asarray(fwd(params, jnp.asarray(batch)))
+            xb = jnp.asarray(batch) if mesh is None else \
+                jax.device_put(batch, x_sharding)
+            est = np.asarray(fwd(params, xb))
             for row, i in enumerate(chunk):
                 T = int(np.asarray(wavs[i]).shape[-1])
                 out = est[row, :, :T]

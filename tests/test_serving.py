@@ -253,3 +253,38 @@ def test_async_batch_server_close_resolves_queued_and_rejects_new():
     import pytest
     with pytest.raises(RuntimeError):
         server.submit(np.zeros(SR, np.float32))
+
+
+def test_mesh_sharded_serving_matches_single_device():
+    """dp scale-out (beyond reference): the padded batch axis shards
+    over the mesh's 'dp' devices with replicated params; results must
+    equal the single-device engines exactly (same program, same
+    per-utterance vmap semantics, just partitioned)."""
+    from tdanet_tpu.parallel.mesh import make_mesh
+    from tdanet_tpu.serving import AsyncBatchServer, BatchSeparationServer
+
+    model, params = build()
+    rng = np.random.default_rng(11)
+    wavs = [(rng.standard_normal(int(SR * s)) * 0.1).astype(np.float32)
+            for s in (1.0, 1.3, 0.8, 1.0, 1.1, 0.9)]
+    want = BatchSeparationServer(model, params, batch_size=4).separate(wavs)
+
+    mesh = make_mesh(dp=4, tp=1, devices=jax.devices()[:4])
+    got = BatchSeparationServer(model, params, batch_size=4,
+                                mesh=mesh).separate(wavs)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-5)
+
+    server = AsyncBatchServer(model, params, max_batch=4, max_wait_ms=2,
+                              mesh=mesh)
+    try:
+        futs = [server.submit(w) for w in wavs]
+        for f, w in zip(futs, want):
+            np.testing.assert_allclose(f.result(timeout=300), w,
+                                       rtol=1e-4, atol=1e-5)
+    finally:
+        server.close()
+
+    import pytest
+    with pytest.raises(ValueError):
+        AsyncBatchServer(model, params, max_batch=6, mesh=mesh)
