@@ -32,6 +32,10 @@ def main(argv=None):
                    help="early-exit depth override on the shared-weight "
                         "recurrence (e.g. 12 = -0.26 dB for +30%% RTFx, "
                         "docs/PERF.md)")
+    p.add_argument("--dp", type=int, default=None,
+                   help="shard each eval batch over the first N devices "
+                        "(data-parallel scale-out; batch_size must "
+                        "divide N)")
     args, overrides = p.parse_known_args(argv)
 
     conf = load_yaml(args.conf_dir)
@@ -54,6 +58,12 @@ def main(argv=None):
     metrics = MetricsTracker(os.path.join(results_dir, "metrics.csv"))
 
     save = args.save_output.lower() == "true"
+    mesh = None
+    if args.dp is not None and args.dp > 1:
+        import jax
+        from tdanet_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(dp=args.dp, tp=1,
+                         devices=jax.devices()[:args.dp])
     from tdanet_tpu.utils.progress import eval_progress
     from tdanet_tpu.utils.separator import separate_batched_stream
     progress, metrics_col = eval_progress("Testing")
@@ -75,7 +85,8 @@ def main(argv=None):
             lengths = [test_set.mix[i][1] for i in range(len(test_set))]
             stream = separate_batched_stream(
                 model, params, lengths, lambda i: test_set[i],
-                batch_size=args.batch_size, num_blocks=args.num_blocks)
+                batch_size=args.batch_size, num_blocks=args.num_blocks,
+                mesh=mesh)
             for done, (_, item, est) in enumerate(
                     progress.track(stream, total=len(test_set))):
                 mix, sources, key = item

@@ -132,7 +132,7 @@ def separate(model, params, wav, compute_dtype=None, lattice=None,
 
 def separate_batched_stream(model, params, lengths, get_item,
                             batch_size=8, compute_dtype=None, lattice=None,
-                            prefetch=2, num_blocks=None):
+                            prefetch=2, num_blocks=None, mesh=None):
     """Streaming variant of :func:`separate_batched` for eval pipelines.
 
     Same bucketed vmap semantics, but audio IO overlaps device compute
@@ -155,6 +155,15 @@ def separate_batched_stream(model, params, lengths, get_item,
     import queue as _queue
     import threading
 
+    if mesh is not None:  # dp scale-out, same contract as separate_batched
+        from tdanet_tpu.parallel.mesh import batch_sharding, replicated
+        dp = mesh.shape["dp"]
+        if batch_size % dp:
+            raise ValueError(
+                f"batch_size ({batch_size}) must divide the mesh dp axis "
+                f"({dp}) for sharded separation")
+        x_sharding = batch_sharding(mesh)
+        params = jax.device_put(params, replicated(mesh))
     lattice = lattice or getattr(model, "lcm", 1)
     n = len(lengths)
     buckets = {}
@@ -206,11 +215,14 @@ def separate_batched_stream(model, params, lengths, get_item,
             got = q.get()
             assert got is not None
             items.append(got[1])
-        batch = np.zeros((len(chunk), target), np.float32)
+        rows = batch_size if mesh is not None else len(chunk)
+        batch = np.zeros((rows, target), np.float32)
         for row, it in enumerate(items):
             w = np.asarray(it[0], np.float32)
             batch[row, :w.shape[-1]] = w
-        est_dev = get_fwd(target)(params, jnp.asarray(batch))  # async
+        xb = jnp.asarray(batch) if mesh is None else \
+            jax.device_put(batch, x_sharding)
+        est_dev = get_fwd(target)(params, xb)  # async
         if pending is not None:
             yield from materialize(pending)
         pending = (target, chunk, items, est_dev)
