@@ -34,9 +34,13 @@ def main(argv=None):
                         "docs/PERF.md)")
     p.add_argument("--dp", type=int, default=None,
                    help="shard each eval batch over the first N devices "
-                        "(data-parallel scale-out; batch_size must "
-                        "divide N)")
+                        "(data-parallel scale-out; batch_size must be a "
+                        "multiple of N)")
     args, overrides = p.parse_known_args(argv)
+    if args.dp is not None and args.dp > 1 and args.batch_size <= 1:
+        p.error("--dp requires the batched eval path: set --batch_size "
+                "to a multiple of --dp (batch_size=1 is the reference "
+                "single-utterance loop)")
 
     conf = load_yaml(args.conf_dir)
     exp_dir = os.path.join("Experiments", "checkpoint",

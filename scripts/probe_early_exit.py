@@ -84,7 +84,8 @@ def main():
     ap.add_argument("--n", type=int, default=100)
     ap.add_argument("--batch", type=int, default=25)
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+                    default=True)  # --no-bf16 = fp32 arm
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}", file=sys.stderr)

@@ -537,6 +537,12 @@ class Recurrent:
         TDANet_best.py:383-399). Static per trace — each depth is its
         own compiled program."""
         it_count = self.iter if n_iter is None else int(n_iter)
+        if not 1 <= it_count <= self.iter:
+            # depth 0 would still run one iteration below (and depths
+            # beyond the trained count are untested extrapolation) —
+            # fail loudly instead of mislabeling a sweep
+            raise ValueError(
+                f"n_iter must be in [1, {self.iter}], got {it_count}")
         mixture = x
 
         def unet_fn(params, inp, it_rng):

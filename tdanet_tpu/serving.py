@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from tdanet_tpu import ops
+from tdanet_tpu.utils.separator import _depth_kw
 
 
 def _resolve(fut, result=None, exc=None):
@@ -156,7 +157,7 @@ class StreamingSeparator:
         self.n_src = getattr(model, "num_sources", 2)
         # num_blocks: early-exit depth override (latency/quality knob on
         # the shared-weight recurrence; docs/PERF.md early-exit study)
-        kw = {} if num_blocks is None else {"num_blocks": num_blocks}
+        kw = _depth_kw(num_blocks)
         self._fwd = jax.jit(
             lambda p, x: model.apply(p, x, compute_dtype=compute_dtype,
                                      **kw))
@@ -234,7 +235,7 @@ class MultiStreamSeparator:
         self.overlap_len = int(self.seg_len * overlap)
         self.n_src = getattr(model, "num_sources", 2)
         self.emit_dtype = emit_dtype
-        kw = {} if num_blocks is None else {"num_blocks": num_blocks}
+        kw = _depth_kw(num_blocks)
         single = lambda p, w: model.apply(p, w[None],
                                           compute_dtype=compute_dtype,
                                           **kw)[0]
@@ -390,8 +391,8 @@ class AsyncBatchServer:
             dp = mesh.shape["dp"]
             if max_batch % dp:
                 raise ValueError(
-                    f"max_batch ({max_batch}) must divide the mesh dp "
-                    f"axis ({dp}) for sharded serving")
+                    f"max_batch ({max_batch}) must be a multiple of the "
+                    f"mesh dp axis ({dp}) for sharded serving")
             self._x_sharding = batch_sharding(mesh)
             self.params = jax.device_put(params, replicated(mesh))
         self.max_wait = max_wait_ms / 1e3
@@ -452,8 +453,7 @@ class AsyncBatchServer:
 
     def _get_fwd(self, target: int):
         if target not in self._fwd_cache:
-            kw = {} if self.num_blocks is None else \
-                {"num_blocks": self.num_blocks}
+            kw = _depth_kw(self.num_blocks)
             single = lambda p, w: self.model.apply(
                 p, w[None], compute_dtype=self.compute_dtype, **kw)[0]
             fwd = jax.jit(lambda p, x: jax.vmap(

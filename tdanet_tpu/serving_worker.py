@@ -153,17 +153,33 @@ class RecyclingMultiStreamSeparator:
         if not conn.poll(self._timeout):
             proc.terminate()
             raise WorkerError("worker startup timed out")
-        status, payload = conn.recv()
+        try:
+            status, payload = conn.recv()
+        except (EOFError, OSError) as e:
+            # pipe closed = the worker died before the handshake (spawn
+            # failure, OOM); keep the module's WorkerError contract and
+            # don't leak the process
+            proc.join(timeout=5)
+            if proc.is_alive():
+                proc.terminate()
+            raise WorkerError(
+                f"worker died before ready handshake "
+                f"(exitcode={proc.exitcode})") from e
         if status != "ready":
             proc.join(timeout=5)
             raise WorkerError(f"worker startup failed: {payload}")
         return proc, conn
 
     def _rpc(self, cmd: str, args: Any = None):
-        self._conn.send((cmd, args))
-        if not self._conn.poll(self._timeout):
-            raise WorkerError(f"worker timed out on {cmd!r}")
-        status, payload = self._conn.recv()
+        try:
+            self._conn.send((cmd, args))
+            if not self._conn.poll(self._timeout):
+                raise WorkerError(f"worker timed out on {cmd!r}")
+            status, payload = self._conn.recv()
+        except (BrokenPipeError, EOFError, OSError) as e:
+            raise WorkerError(
+                f"worker died during {cmd!r} "
+                f"(exitcode={self._proc.exitcode})") from e
         if status == "error":
             raise WorkerError(payload)
         return payload
@@ -181,8 +197,13 @@ class RecyclingMultiStreamSeparator:
         self.generation += 1
         try:
             old_conn.send(("stop", None))
+            # drain the ack so the retiring worker's send never hits a
+            # closed pipe (it would die with BrokenPipeError noise and a
+            # nonzero exit code instead of a clean stop)
+            if old_conn.poll(10):
+                old_conn.recv()
             old_conn.close()
-        except (BrokenPipeError, OSError):
+        except (BrokenPipeError, EOFError, OSError):
             pass
         old_proc.join(timeout=10)
         if old_proc.is_alive():

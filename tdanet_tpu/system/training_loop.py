@@ -310,7 +310,11 @@ class AudioTrainer:
                             f"{str(e)[:200]})")
                     failed, preempted = self._sync_flags(
                         step_exc is not None, self._preempted)
-                    self._preempted = preempted
+                    # OR (never assign): a SIGTERM landing between the
+                    # _sync_flags read and this line must not be
+                    # clobbered by the stale synced value — it gets
+                    # picked up at the next batch-boundary sync instead
+                    self._preempted = self._preempted or preempted
                     if failed:
                         failures += 1
                         print_only(f"restoring last checkpoint on all "
@@ -333,7 +337,11 @@ class AudioTrainer:
                                 mesh=self.mesh)
                         continue
                     train_losses.append(loss)
-                    if self._preempted:
+                    if preempted:
+                        # break on the SYNCED flag only: a signal that
+                        # arrived after the sync must not make this rank
+                        # break alone while peers enter the next step's
+                        # collectives (pod deadlock)
                         break
                 if max_failures > 0 and train_losses and \
                         not isinstance(train_losses[-1], float):
@@ -364,7 +372,17 @@ class AudioTrainer:
                                 self.model, self.optimizer,
                                 jax.random.PRNGKey(cfg_t.get("seed", 0)),
                                 mesh=self.mesh)
-                if not train_losses and not self._preempted:
+                train_loss = float(jnp.mean(jnp.stack(train_losses))) \
+                    if train_losses else float("nan")
+
+                # epoch-end preemption decision, synchronized: validate
+                # and ckpt.save below are collectives, so a signal that
+                # arrived on one rank after the last batch-boundary sync
+                # must put EVERY rank on the same branch here (and the
+                # raises below must be taken by all ranks or none)
+                (epoch_preempted,) = self._sync_flags(self._preempted)
+                self._preempted = self._preempted or epoch_preempted
+                if not train_losses and not epoch_preempted:
                     if failures:
                         raise RuntimeError(
                             f"every train step this epoch failed "
@@ -375,10 +393,7 @@ class AudioTrainer:
                         f"must be >= dp ({self.dp}); raise "
                         f"datamodule.data_config.batch_size or shrink "
                         f"the mesh")
-                train_loss = float(jnp.mean(jnp.stack(train_losses))) \
-                    if train_losses else float("nan")
-
-                if self._preempted:
+                if epoch_preempted:
                     # skip validation: preemption grace windows are short.
                     # val_loss=inf keeps this save out of the top-k set
                     # while still updating the 'last' checkpoint.

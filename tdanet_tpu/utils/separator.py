@@ -48,15 +48,15 @@ def separate_batched(model, params, wavs, batch_size=8, compute_dtype=None,
     single-GPU at eval) — the padded batch axis shards over 'dp' and
     params replicate, so N chips each separate batch_size/N utterances
     of the same compiled program. Batches are padded to a full
-    ``batch_size`` rows (static shape, divides dp).
+    ``batch_size`` rows (static shape, a multiple of dp).
     """
     if mesh is not None:
         from tdanet_tpu.parallel.mesh import batch_sharding, replicated
         dp = mesh.shape["dp"]
         if batch_size % dp:
             raise ValueError(
-                f"batch_size ({batch_size}) must divide the mesh dp axis "
-                f"({dp}) for sharded separation")
+                f"batch_size ({batch_size}) must be a multiple of the "
+                f"mesh dp axis ({dp}) for sharded separation")
         x_sharding = batch_sharding(mesh)
         params = jax.device_put(params, replicated(mesh))
     lattice = lattice or getattr(model, "lcm", 1)
@@ -160,8 +160,8 @@ def separate_batched_stream(model, params, lengths, get_item,
         dp = mesh.shape["dp"]
         if batch_size % dp:
             raise ValueError(
-                f"batch_size ({batch_size}) must divide the mesh dp axis "
-                f"({dp}) for sharded separation")
+                f"batch_size ({batch_size}) must be a multiple of the "
+                f"mesh dp axis ({dp}) for sharded separation")
         x_sharding = batch_sharding(mesh)
         params = jax.device_put(params, replicated(mesh))
     lattice = lattice or getattr(model, "lcm", 1)

@@ -58,3 +58,16 @@ def test_serving_engines_honor_num_blocks():
                                    atol=1e-5)
     finally:
         srv.close()
+
+
+def test_depth_override_out_of_range_raises():
+    """Depth 0 would silently run 1 iteration (the recurrence always
+    executes once before the scan); depths beyond the trained count are
+    untested extrapolation — both must fail loudly."""
+    import pytest
+    model = TDANetBest(num_blocks=2, **CFG)
+    params = model.init(jax.random.PRNGKey(2))
+    x = jnp.zeros((1, 8000), jnp.float32)
+    for bad in (0, -1, 3):
+        with pytest.raises(ValueError, match="n_iter"):
+            model.apply(params, x, num_blocks=bad)
