@@ -110,6 +110,13 @@ def open_loop(server, clips, rate_hz, n_requests, clip_s):
     for f in futs:
         f.result(timeout=300)
     wall = time.perf_counter() - t0
+    # set_result wakes result() waiters BEFORE running done-callbacks,
+    # so the tail batch's latency appends may still be in flight on the
+    # resolver thread — wait for them or the percentiles are computed
+    # on a list short by up to max_batch samples
+    deadline = time.perf_counter() + 5.0
+    while len(lat) < len(futs) and time.perf_counter() < deadline:
+        time.sleep(0.001)
     lat = np.array(sorted(lat))
     return {
         "mode": "open", "rate_hz": rate_hz, "requests": n_requests,

@@ -148,6 +148,20 @@ def batch_sharding(mesh: Mesh):
     return NamedSharding(mesh, P("dp"))
 
 
+def dp_batch_setup(mesh: Mesh, batch_size: int, params, what="batch_size"):
+    """Shared setup for dp-sharded batch serving/eval: validate that the
+    static batch divides the mesh's dp axis, place the params replicated
+    on the mesh. Returns ``(x_sharding, placed_params)``. One helper so
+    AsyncBatchServer / separate_batched / separate_batched_stream cannot
+    drift on the sharding contract."""
+    dp = mesh.shape["dp"]
+    if batch_size % dp:
+        raise ValueError(
+            f"{what} ({batch_size}) must be a multiple of the mesh dp "
+            f"axis ({dp}) for sharded serving")
+    return batch_sharding(mesh), jax.device_put(params, replicated(mesh))
+
+
 def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from tdanet_tpu import ops
-from tdanet_tpu.utils.separator import _depth_kw
+from tdanet_tpu.utils.separator import depth_kw
 
 
 def _resolve(fut, result=None, exc=None):
@@ -157,7 +157,7 @@ class StreamingSeparator:
         self.n_src = getattr(model, "num_sources", 2)
         # num_blocks: early-exit depth override (latency/quality knob on
         # the shared-weight recurrence; docs/PERF.md early-exit study)
-        kw = _depth_kw(num_blocks)
+        kw = depth_kw(num_blocks)
         self._fwd = jax.jit(
             lambda p, x: model.apply(p, x, compute_dtype=compute_dtype,
                                      **kw))
@@ -235,7 +235,7 @@ class MultiStreamSeparator:
         self.overlap_len = int(self.seg_len * overlap)
         self.n_src = getattr(model, "num_sources", 2)
         self.emit_dtype = emit_dtype
-        kw = _depth_kw(num_blocks)
+        kw = depth_kw(num_blocks)
         single = lambda p, w: model.apply(p, w[None],
                                           compute_dtype=compute_dtype,
                                           **kw)[0]
@@ -387,14 +387,9 @@ class AsyncBatchServer:
         self.mesh = mesh
         self._x_sharding = None
         if mesh is not None:
-            from tdanet_tpu.parallel.mesh import batch_sharding, replicated
-            dp = mesh.shape["dp"]
-            if max_batch % dp:
-                raise ValueError(
-                    f"max_batch ({max_batch}) must be a multiple of the "
-                    f"mesh dp axis ({dp}) for sharded serving")
-            self._x_sharding = batch_sharding(mesh)
-            self.params = jax.device_put(params, replicated(mesh))
+            from tdanet_tpu.parallel.mesh import dp_batch_setup
+            self._x_sharding, self.params = dp_batch_setup(
+                mesh, max_batch, params, what="max_batch")
         self.max_wait = max_wait_ms / 1e3
         self.compute_dtype = compute_dtype
         self.num_blocks = num_blocks
@@ -453,7 +448,7 @@ class AsyncBatchServer:
 
     def _get_fwd(self, target: int):
         if target not in self._fwd_cache:
-            kw = _depth_kw(self.num_blocks)
+            kw = depth_kw(self.num_blocks)
             single = lambda p, w: self.model.apply(
                 p, w[None], compute_dtype=self.compute_dtype, **kw)[0]
             fwd = jax.jit(lambda p, x: jax.vmap(

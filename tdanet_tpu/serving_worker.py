@@ -170,19 +170,62 @@ class RecyclingMultiStreamSeparator:
             raise WorkerError(f"worker startup failed: {payload}")
         return proc, conn
 
+    def _poison(self):
+        """Kill a worker whose pipe can no longer be trusted. After a
+        command times out, the wedged worker's LATE reply would be
+        consumed as the response to the NEXT command — recycle() would
+        restore a step dict as engine state, a retried step() would
+        silently return the previous hop's audio. The only safe move is
+        to kill the worker and force an explicit respawn()."""
+        proc, conn = self._proc, self._conn
+        self._proc = self._conn = None
+        if conn is not None:
+            try:
+                conn.close()
+            except OSError:
+                pass
+        if proc is not None:
+            proc.terminate()
+            proc.join(timeout=10)
+
     def _rpc(self, cmd: str, args: Any = None):
+        if self._conn is None:
+            raise WorkerError(
+                f"no live worker for {cmd!r}: a previous command timed "
+                f"out and the worker was killed — call respawn()")
         try:
             self._conn.send((cmd, args))
             if not self._conn.poll(self._timeout):
-                raise WorkerError(f"worker timed out on {cmd!r}")
+                self._poison()
+                raise WorkerError(
+                    f"worker timed out on {cmd!r}; worker killed to "
+                    f"keep the pipe in sync (its late reply would be "
+                    f"mistaken for the next command's) — call "
+                    f"respawn(); streams restart from scratch")
             status, payload = self._conn.recv()
         except (BrokenPipeError, EOFError, OSError) as e:
+            exitcode = self._proc.exitcode if self._proc is not None \
+                else None
             raise WorkerError(
                 f"worker died during {cmd!r} "
-                f"(exitcode={self._proc.exitcode})") from e
+                f"(exitcode={exitcode})") from e
         if status == "error":
             raise WorkerError(payload)
         return payload
+
+    def respawn(self) -> None:
+        """Start a fresh worker after the current one was killed (RPC
+        timeout poison) or died. Unlike recycle(), NO state is carried
+        over — recycle needs a live worker to export from — so streams
+        must be re-opened and stitch continuity restarts."""
+        self._poison()
+        nxt = self._standby if self._standby is not None else self._launch()
+        self._standby = None
+        self._proc, self._conn = self._adopt(nxt)
+        self._steps_this_worker = 0
+        self.generation += 1
+        if self._prewarm:
+            self._standby = self._launch()
 
     def recycle(self) -> None:
         """Hand the full engine state to a fresh worker process (the

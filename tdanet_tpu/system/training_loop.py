@@ -194,6 +194,18 @@ class AudioTrainer:
             np.asarray([1 if f else 0 for f in flags], np.int32))
         return tuple(bool(x) for x in np.max(got, axis=0))
 
+    def _restore_or_reinit(self, cfg_t):
+        """Roll back to the last checkpoint after a synced step failure
+        (fresh init when none has been written yet). Called by every
+        rank in the same iteration — restore_last is a collective."""
+        try:
+            self.state, _ = self.ckpt.restore_last(self.state)
+        except FileNotFoundError:
+            self.state = create_train_state(
+                self.model, self.optimizer,
+                jax.random.PRNGKey(cfg_t.get("seed", 0)),
+                mesh=self.mesh)
+
     def validate(self, loader) -> float:
         """Mean eval loss. Losses stay ON DEVICE until the final mean —
         a float() per batch would serialize eval through one host
@@ -327,14 +339,7 @@ class AudioTrainer:
                             # the pending loss may be the poisoned result
                             # whose materialization raised — drop it
                             train_losses.pop()
-                        try:
-                            self.state, _ = self.ckpt.restore_last(
-                                self.state)
-                        except FileNotFoundError:
-                            self.state = create_train_state(
-                                self.model, self.optimizer,
-                                jax.random.PRNGKey(cfg_t.get("seed", 0)),
-                                mesh=self.mesh)
+                        self._restore_or_reinit(cfg_t)
                         continue
                     train_losses.append(loss)
                     if preempted:
@@ -364,25 +369,20 @@ class AudioTrainer:
                         if failures > max_failures:
                             raise tail_exc if tail_exc is not None else \
                                 RuntimeError("peer rank train step failed")
-                        try:
-                            self.state, _ = self.ckpt.restore_last(
-                                self.state)
-                        except FileNotFoundError:
-                            self.state = create_train_state(
-                                self.model, self.optimizer,
-                                jax.random.PRNGKey(cfg_t.get("seed", 0)),
-                                mesh=self.mesh)
+                        self._restore_or_reinit(cfg_t)
                 train_loss = float(jnp.mean(jnp.stack(train_losses))) \
                     if train_losses else float("nan")
 
-                # epoch-end preemption decision, synchronized: validate
-                # and ckpt.save below are collectives, so a signal that
-                # arrived on one rank after the last batch-boundary sync
-                # must put EVERY rank on the same branch here (and the
-                # raises below must be taken by all ranks or none)
-                (epoch_preempted,) = self._sync_flags(self._preempted)
+                # epoch-end preemption + empty-epoch decisions, in ONE
+                # synchronized exchange: validate and ckpt.save below
+                # are collectives, so a signal that arrived on one rank
+                # after the last batch-boundary sync — or a train_losses
+                # list that the poisoned-loss pops emptied on ONE rank
+                # only — must put EVERY rank on the same branch here
+                epoch_preempted, any_rank_empty = self._sync_flags(
+                    self._preempted, not train_losses)
                 self._preempted = self._preempted or epoch_preempted
-                if not train_losses and not epoch_preempted:
+                if any_rank_empty and not epoch_preempted:
                     if failures:
                         raise RuntimeError(
                             f"every train step this epoch failed "

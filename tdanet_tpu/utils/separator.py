@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _depth_kw(num_blocks):
+def depth_kw(num_blocks):
     """Early-exit depth override kwarg (only models exposing the knob
     accept it; None keeps every model's trained depth)."""
     return {} if num_blocks is None else {"num_blocks": num_blocks}
@@ -20,7 +20,7 @@ def _depth_kw(num_blocks):
 
 @lru_cache(maxsize=64)
 def _compiled_forward(model, length, compute_dtype, num_blocks=None):
-    kw = _depth_kw(num_blocks)
+    kw = depth_kw(num_blocks)
     return jax.jit(
         lambda params, wav: model.apply(params, wav,
                                         compute_dtype=compute_dtype, **kw))
@@ -51,14 +51,8 @@ def separate_batched(model, params, wavs, batch_size=8, compute_dtype=None,
     ``batch_size`` rows (static shape, a multiple of dp).
     """
     if mesh is not None:
-        from tdanet_tpu.parallel.mesh import batch_sharding, replicated
-        dp = mesh.shape["dp"]
-        if batch_size % dp:
-            raise ValueError(
-                f"batch_size ({batch_size}) must be a multiple of the "
-                f"mesh dp axis ({dp}) for sharded separation")
-        x_sharding = batch_sharding(mesh)
-        params = jax.device_put(params, replicated(mesh))
+        from tdanet_tpu.parallel.mesh import dp_batch_setup
+        x_sharding, params = dp_batch_setup(mesh, batch_size, params)
     lattice = lattice or getattr(model, "lcm", 1)
     buckets = {}
     for i, w in enumerate(wavs):
@@ -67,7 +61,7 @@ def separate_batched(model, params, wavs, batch_size=8, compute_dtype=None,
         buckets.setdefault(target, []).append(i)
 
     fwd_cache = {}
-    kw = _depth_kw(num_blocks)
+    kw = depth_kw(num_blocks)
 
     def get_fwd(target):
         if target not in fwd_cache:
@@ -156,14 +150,8 @@ def separate_batched_stream(model, params, lengths, get_item,
     import threading
 
     if mesh is not None:  # dp scale-out, same contract as separate_batched
-        from tdanet_tpu.parallel.mesh import batch_sharding, replicated
-        dp = mesh.shape["dp"]
-        if batch_size % dp:
-            raise ValueError(
-                f"batch_size ({batch_size}) must be a multiple of the "
-                f"mesh dp axis ({dp}) for sharded separation")
-        x_sharding = batch_sharding(mesh)
-        params = jax.device_put(params, replicated(mesh))
+        from tdanet_tpu.parallel.mesh import dp_batch_setup
+        x_sharding, params = dp_batch_setup(mesh, batch_size, params)
     lattice = lattice or getattr(model, "lcm", 1)
     n = len(lengths)
     buckets = {}
@@ -187,7 +175,7 @@ def separate_batched_stream(model, params, lengths, get_item,
     t.start()
 
     fwd_cache = {}
-    kw = _depth_kw(num_blocks)
+    kw = depth_kw(num_blocks)
 
     def get_fwd(target):
         if target not in fwd_cache:

@@ -137,6 +137,36 @@ def test_prewarmed_standby_recycle(setup):
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
 
 
+def test_rpc_timeout_poisons_and_respawn_recovers(setup):
+    """An RPC timeout kills the worker: its LATE reply would otherwise
+    be consumed as the next command's response (a recycle would restore
+    a step dict as engine state; a retried step would return the
+    previous hop's audio). Until respawn(), every call must fail
+    loudly; respawn() starts a fresh, working worker."""
+    from tdanet_tpu.serving_worker import WorkerError
+    model, params, wavs = setup
+    with RecyclingMultiStreamSeparator(
+            "TDANetBest", MODEL_KW, params, platform="cpu",
+            **ENGINE_KW) as eng:
+        pid0 = eng.worker_pid
+        real_timeout = eng._timeout
+        eng._timeout = 0.0  # poll(0) on an empty pipe: guaranteed miss
+        with pytest.raises(WorkerError, match="timed out"):
+            eng.worker_rss_kb()
+        eng._timeout = real_timeout
+        # poisoned: no silent consumption of the stale reply
+        with pytest.raises(WorkerError, match="respawn"):
+            eng.step()
+        eng.respawn()
+        assert eng.worker_pid != pid0
+        assert eng.generation == 2
+        # the fresh worker serves; state starts empty (streams re-open)
+        eng.open("a")
+        eng.push("a", wavs["a"][:20000])
+        out = eng.step()
+        assert "a" in out and out["a"].shape[0] == 2
+
+
 def test_export_restore_roundtrip_in_process(setup):
     """State snapshot alone (no subprocess) resumes a stream exactly."""
     model, params, wavs = setup
