@@ -560,9 +560,7 @@ class Recurrent:
             unet_fn = jax.checkpoint(unet_fn)
 
         def concat(inp):
-            y = ops.conv1d(inp, p["concat_block"]["0"],
-                           groups=self.out_channels)
-            return ops.prelu(y, p["concat_block"]["1"])
+            return self._concat(p, inp)
 
         x = unet_fn(p["unet"], x, _fold(rng, 0))
 
@@ -580,6 +578,57 @@ class Recurrent:
                 return ops.store_activation(out), None
 
             x, _ = jax.lax.scan(body, x, iter_rngs)
+        return x
+
+    def _concat(self, p, inp):
+        """The inter-iteration concat block (depthwise 1x1 + PReLU)."""
+        y = ops.conv1d(inp, p["concat_block"]["0"],
+                       groups=self.out_channels)
+        return ops.prelu(y, p["concat_block"]["1"])
+
+    def apply_with_state(self, p, x, n_iter=None):
+        """Inference-only depth-``n_iter`` forward that also returns the
+        progressive-separation state: ``(out, delta)`` where ``delta``
+        is the per-example relative change between the last two
+        iterates, ``||x_d - x_{d-1}|| / ||x_d||`` — the convergence
+        proxy that decides whether ``continue_apply`` is worth running
+        (docs/PERF.md progressive study). Requires ``n_iter >= 2``.
+        The output equals ``apply(..., n_iter=n_iter)`` exactly (same
+        body, same order of operations)."""
+        it_count = self.iter if n_iter is None else int(n_iter)
+        if not 2 <= it_count <= self.iter:
+            raise ValueError(
+                f"apply_with_state needs n_iter in [2, {self.iter}] "
+                f"(the delta proxy compares the last two iterates), "
+                f"got {it_count}")
+        mixture = x
+        x0 = self.unet.apply(p["unet"], x)
+
+        def body(carry, _):
+            _, cur = carry
+            out = self.unet.apply(p["unet"],
+                                  self._concat(p, mixture + cur))
+            return (cur, ops.store_activation(out)), None
+
+        (prev, x), _ = jax.lax.scan(body, (x0, x0), None,
+                                    length=it_count - 1)
+        axes = tuple(range(1, x.ndim))
+        delta = (jnp.sqrt(jnp.sum((x - prev) ** 2, axis=axes))
+                 / (jnp.sqrt(jnp.sum(x ** 2, axis=axes)) + 1e-8))
+        return x, delta
+
+    def continue_apply(self, p, mixture, carry, n_more):
+        """EXACT continuation: run ``n_more`` further shared-weight
+        iterations from ``carry`` — iterations d..d+n_more of the same
+        recurrence (same weights, same body), so a depth-d
+        ``apply_with_state`` followed by ``continue_apply(n_more)``
+        equals ``apply`` at depth d+n_more. Inference-only."""
+
+        def body(c, _):
+            out = self.unet.apply(p["unet"], self._concat(p, mixture + c))
+            return ops.store_activation(out), None
+
+        x, _ = jax.lax.scan(body, carry, None, length=int(n_more))
         return x
 
 

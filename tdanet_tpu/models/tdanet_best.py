@@ -55,11 +55,7 @@ class TDANetBest(BaseModel):
                 self.enc_kernel_size),
         }
 
-    def apply(self, params, input_wav, *, training=False, rng=None,
-              compute_dtype=None, num_blocks=None):
-        """``num_blocks`` overrides the recurrence depth at apply time
-        (early-exit inference over the shared-weight separator; see
-        Recurrent.apply n_iter)."""
+    def _norm_wav(self, input_wav, compute_dtype):
         was_one_d = input_wav.ndim == 1
         if was_one_d:
             input_wav = input_wav[None]
@@ -67,35 +63,88 @@ class TDANetBest(BaseModel):
             input_wav = input_wav.squeeze(1)
         if compute_dtype is not None:
             input_wav = input_wav.astype(compute_dtype)
+        return input_wav, was_one_d
 
+    def _front(self, params, wav):
+        """Framed conv encoder -> GlobLN -> 1x1 bottleneck. Returns
+        (bottleneck_feats, encoder_feats, rest)."""
         K = self.enc_kernel_size
         S = K // 4
-        x, rest = ops.pad_signal(input_wav, K, S)
-
-        # Front end: framed conv encoder
-        x = ops.conv1d(x[:, None, :], params["encoder"], stride=S, padding=K // 2)
-
+        x, rest = ops.pad_signal(wav, K, S)
+        x = ops.conv1d(x[:, None, :], params["encoder"], stride=S,
+                       padding=K // 2)
         s = x
         x = ops.glob_ln(x, params["ln"])
         x = ops.conv1d(x, params["bottleneck"])
-        x = self.sm.apply(params["sm"], x, training=training, rng=rng,
-                          n_iter=num_blocks)
+        return x, s, rest
 
+    def _back(self, params, x, s, rest):
+        """Mask head -> mask x encoder feats -> overlap-add decoder ->
+        lattice trim (TDANet_best.py:512-518)."""
+        K = self.enc_kernel_size
+        S = K // 4
         x = ops.prelu(x, params["mask_net"]["0"])
         x = ops.conv1d(x, params["mask_net"]["1"])
         Bsz = x.shape[0]
         x = x.reshape(Bsz, self.num_sources, self.enc_num_basis, -1)
         x = jax.nn.relu(x)
         x = x * s[:, None]
-
         est = ops.conv_transpose1d(
             x.reshape(Bsz, self.num_sources * self.enc_num_basis, -1),
             params["decoder"], stride=S, padding=K // 2)
-        # trim the lattice padding (TDANet_best.py:512-518)
-        est = est[:, :, K - S: est.shape[-1] - (rest + K - S)]
+        return est[:, :, K - S: est.shape[-1] - (rest + K - S)]
+
+    def apply(self, params, input_wav, *, training=False, rng=None,
+              compute_dtype=None, num_blocks=None):
+        """``num_blocks`` overrides the recurrence depth at apply time
+        (early-exit inference over the shared-weight separator; see
+        Recurrent.apply n_iter)."""
+        input_wav, was_one_d = self._norm_wav(input_wav, compute_dtype)
+        x, s, rest = self._front(params, input_wav)
+        x = self.sm.apply(params["sm"], x, training=training, rng=rng,
+                          n_iter=num_blocks)
+        est = self._back(params, x, s, rest)
         if was_one_d:
             return est[0]
         return est
+
+    def pad_rest(self, T: int) -> int:
+        """Host-side mirror of ops.pad_signal's ``rest`` for a length-T
+        input (needed as a STATIC arg when jitting apply_stage2, whose
+        state crosses a jit boundary)."""
+        K = self.enc_kernel_size
+        S = K // 4
+        return K - (S + T % K) % K
+
+    def apply_stage1(self, params, input_wav, *, depth,
+                     compute_dtype=None):
+        """Progressive separation, stage 1 (inference-only): a
+        depth-``depth`` forward that ALSO returns the continuation
+        state. Returns ``(est, state)`` where ``est`` equals
+        ``apply(num_blocks=depth)`` and ``state`` is an array-only
+        pytree: bottleneck mixture feats, recurrence carry, encoder
+        feats, and ``delta`` — the per-example convergence proxy
+        (relative change of the last two iterates). Utterances whose
+        recurrence already converged gain little from more depth;
+        ``apply_stage2`` continues only the ones that haven't
+        (docs/PERF.md progressive study)."""
+        input_wav, _ = self._norm_wav(input_wav, compute_dtype)
+        feats, s, rest = self._front(params, input_wav)
+        x, delta = self.sm.apply_with_state(params["sm"], feats,
+                                            n_iter=depth)
+        est = self._back(params, x, s, rest)
+        return est, {"mixture": feats, "carry": x, "enc": s,
+                     "delta": delta}
+
+    def apply_stage2(self, params, state, *, n_more, rest):
+        """Progressive separation, stage 2: EXACT continuation of
+        ``n_more`` further shared-weight iterations from stage 1's
+        carry — output equals ``apply(num_blocks=depth + n_more)``.
+        ``rest`` is the static lattice padding for the original input
+        length (``pad_rest(T)``)."""
+        x = self.sm.continue_apply(params["sm"], state["mixture"],
+                                   state["carry"], n_more)
+        return self._back(params, x, state["enc"], rest)
 
     def get_model_args(self):
         return {

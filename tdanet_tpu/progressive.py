@@ -1,0 +1,108 @@
+"""Progressive (adaptive-depth) batched separation.
+
+The flagship separator applies ONE shared-weight UConvBlock 16 times
+(reference: the fixed-depth Recurrent loop, TDANet_best.py:383-399).
+The early-exit study (docs/PERF.md) showed depth is a latency/quality
+knob — but a FIXED lower depth pays its quality cost on every
+utterance. This module makes the depth adaptive per utterance with no
+approximation on the escalated path:
+
+1. stage 1: every utterance runs at a cheap depth d1; the recurrence
+   also emits a per-example convergence proxy
+   ``delta = ||x_d1 - x_{d1-1}|| / ||x_d1||`` (how much the last
+   iteration still moved the solution);
+2. stage 2: utterances with ``delta > threshold`` CONTINUE — exactly,
+   from the saved carry, through the same recurrence body — to full
+   depth. Continuation is not a re-run: depth-d1 state + (16 - d1)
+   more iterations IS the depth-16 program (pinned by
+   tests/test_progressive.py).
+
+Compute cost: N*d1 + N_escalated*(d_full - d1) block iterations
+instead of N*d_full, at full-depth quality for every utterance the
+proxy flags. Both stages are fixed-shape jit programs (one compile
+each); escalated utterances are gathered ON DEVICE into full batches,
+so host<->device traffic stays [mixes in, estimates + one tiny delta
+vector out] — the transfer floor of the plain eval path.
+
+vmap preserves the reference's per-utterance batch=1 MHA semantics
+(the batch-axis attention quirk; see utils/separator.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def separate_progressive(model, params, mixes, depth1=8, depth_full=None,
+                         threshold=0.05, batch_size=8,
+                         compute_dtype=None):
+    """Adaptive-depth separation of ``mixes`` (N, T) equal-length
+    mixtures. Returns ``(ests, info)``: ests (N, n_src, T) float32 in
+    input order; info carries per-utterance ``delta``, the boolean
+    ``escalated`` mask, and the depths used.
+
+    ``threshold``: escalate utterances with delta above it. 0 or
+    negative escalates everything (== fixed full depth, for A/Bs);
+    ``np.inf`` escalates nothing (== fixed depth1). Stage-1 states are
+    kept on device until the escalation pass, so memory scales with N —
+    chunk the corpus for very large N.
+    """
+    mixes = np.asarray(mixes, np.float32)
+    N, T = mixes.shape
+    depth_full = depth_full if depth_full is not None else model.num_blocks
+    n_more = depth_full - depth1
+    if n_more <= 0:
+        raise ValueError(f"depth_full ({depth_full}) must exceed "
+                         f"depth1 ({depth1})")
+    rest = model.pad_rest(T)
+    n_src = model.num_sources
+
+    def _s1(p, w):
+        est, st = model.apply_stage1(p, w[None], depth=depth1,
+                                     compute_dtype=compute_dtype)
+        return est[0], jax.tree_util.tree_map(lambda a: a[0], st)
+
+    def _s2(p, st):
+        return model.apply_stage2(
+            p, jax.tree_util.tree_map(lambda a: a[None], st),
+            n_more=n_more, rest=rest)[0]
+
+    stage1 = jax.jit(lambda p, x: jax.vmap(_s1, in_axes=(None, 0))(p, x))
+    stage2 = jax.jit(lambda p, st: jax.vmap(_s2, in_axes=(None, 0))(p, st))
+
+    ests = np.zeros((N, n_src, T), np.float32)
+    deltas = np.zeros(N, np.float32)
+    states = []
+    for s0 in range(0, N, batch_size):
+        n_rows = min(N, s0 + batch_size) - s0
+        xb = np.zeros((batch_size, T), np.float32)
+        xb[:n_rows] = mixes[s0:s0 + n_rows]
+        est, st = stage1(params, jnp.asarray(xb))
+        ests[s0:s0 + n_rows] = np.asarray(est, np.float32)[:n_rows]
+        deltas[s0:s0 + n_rows] = np.asarray(st["delta"],
+                                            np.float32)[:n_rows]
+        states.append(st)
+
+    escalated = deltas > threshold
+    hard = np.where(escalated)[0]
+    if len(hard):
+        # device-side gather: utterance i sits at concat row i (every
+        # stage-1 batch contributes exactly batch_size rows, pads last)
+        state_cat = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs), *states)
+        for c0 in range(0, len(hard), batch_size):
+            chunk = hard[c0:c0 + batch_size]
+            pad_idx = np.concatenate(
+                [chunk, np.full(batch_size - len(chunk), chunk[-1],
+                                np.int64)])
+            st = jax.tree_util.tree_map(
+                lambda a: a[jnp.asarray(pad_idx)], state_cat)
+            est2 = stage2(params, st)
+            ests[chunk] = np.asarray(est2, np.float32)[:len(chunk)]
+
+    return ests, {"delta": deltas, "escalated": escalated,
+                  "depth1": depth1, "depth_full": depth_full,
+                  "n_escalated": int(escalated.sum())}
