@@ -36,10 +36,19 @@ from tdanet_tpu.progressive import separate_progressive
 from probe_early_exit import make_tt, sisnr, sisnri, SR, T
 
 
+_FWD_CACHE = {}
+
+
 def fixed_depth_ests(model, params, mixes, depth, batch, dtype):
-    single = lambda p, w: model.apply(p, w[None], compute_dtype=dtype,
-                                      num_blocks=depth)[0]
-    fwd = jax.jit(lambda p, x: jax.vmap(single, in_axes=(None, 0))(p, x))
+    # cache the jitted program per depth: a fresh lambda per call would
+    # RETRACE + RECOMPILE inside the timing loop (minutes each on the
+    # tunneled TPU, and it hammers the remote compile helper)
+    if depth not in _FWD_CACHE:
+        single = lambda p, w: model.apply(p, w[None], compute_dtype=dtype,
+                                          num_blocks=depth)[0]
+        _FWD_CACHE[depth] = jax.jit(
+            lambda p, x: jax.vmap(single, in_axes=(None, 0))(p, x))
+    fwd = _FWD_CACHE[depth]
     outs = []
     for s in range(0, len(mixes), batch):
         outs.append(np.asarray(fwd(params,

@@ -30,10 +30,34 @@ vmap preserves the reference's per-utterance batch=1 MHA semantics
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+
+@lru_cache(maxsize=32)
+def _compiled_stages(model, depth1, n_more, rest, compute_dtype):
+    """One (stage1, stage2) jit pair per configuration — repeated
+    separate_progressive calls (sweeps, serving loops) must reuse the
+    compiled programs, not retrace fresh lambdas (a recompile is
+    minutes on the tunneled TPU)."""
+
+    def _s1(p, w):
+        est, st = model.apply_stage1(p, w[None], depth=depth1,
+                                     compute_dtype=compute_dtype)
+        return est[0], jax.tree_util.tree_map(lambda a: a[0], st)
+
+    def _s2(p, st):
+        return model.apply_stage2(
+            p, jax.tree_util.tree_map(lambda a: a[None], st),
+            n_more=n_more, rest=rest)[0]
+
+    stage1 = jax.jit(lambda p, x: jax.vmap(_s1, in_axes=(None, 0))(p, x))
+    stage2 = jax.jit(lambda p, st: jax.vmap(_s2, in_axes=(None, 0))(p, st))
+    return stage1, stage2
 
 
 def separate_progressive(model, params, mixes, depth1=8, depth_full=None,
@@ -59,19 +83,8 @@ def separate_progressive(model, params, mixes, depth1=8, depth_full=None,
                          f"depth1 ({depth1})")
     rest = model.pad_rest(T)
     n_src = model.num_sources
-
-    def _s1(p, w):
-        est, st = model.apply_stage1(p, w[None], depth=depth1,
-                                     compute_dtype=compute_dtype)
-        return est[0], jax.tree_util.tree_map(lambda a: a[0], st)
-
-    def _s2(p, st):
-        return model.apply_stage2(
-            p, jax.tree_util.tree_map(lambda a: a[None], st),
-            n_more=n_more, rest=rest)[0]
-
-    stage1 = jax.jit(lambda p, x: jax.vmap(_s1, in_axes=(None, 0))(p, x))
-    stage2 = jax.jit(lambda p, st: jax.vmap(_s2, in_axes=(None, 0))(p, st))
+    stage1, stage2 = _compiled_stages(model, depth1, n_more, rest,
+                                      compute_dtype)
 
     ests = np.zeros((N, n_src, T), np.float32)
     deltas = np.zeros(N, np.float32)
