@@ -5,7 +5,8 @@ the reference's batch=1 dynamic-shape loop.
 
 Usage:
     python audio_test.py --conf_dir Experiments/checkpoint/<exp>/conf.yml \
-        [--ckpt_path path.pth] [--save_output true] [--save_path dir]
+        [--ckpt_path path.pth] [--save_output true] [--save_path dir] \
+        [--progressive_depth 8 [--progressive_threshold 0.05]]
 """
 
 import argparse
@@ -32,6 +33,14 @@ def main(argv=None):
                    help="early-exit depth override on the shared-weight "
                         "recurrence (e.g. 12 = -0.26 dB for +30%% RTFx, "
                         "docs/PERF.md)")
+    p.add_argument("--progressive_depth", type=int, default=None,
+                   help="adaptive-depth eval: run every utterance at this "
+                        "depth, then continue utterances whose recurrence "
+                        "hasn't converged to full depth (exact "
+                        "continuation; tdanet_tpu/progressive.py)")
+    p.add_argument("--progressive_threshold", type=float, default=0.05,
+                   help="escalate utterances with last-iteration relative "
+                        "delta above this (with --progressive_depth)")
     p.add_argument("--dp", type=int, default=None,
                    help="shard each eval batch over the first N devices "
                         "(data-parallel scale-out; batch_size must be a "
@@ -41,6 +50,10 @@ def main(argv=None):
         p.error("--dp requires the batched eval path: set --batch_size "
                 "to a multiple of --dp (batch_size=1 is the reference "
                 "single-utterance loop)")
+    if args.progressive_depth is not None and (
+            args.num_blocks is not None or (args.dp or 1) > 1):
+        p.error("--progressive_depth is exclusive with --num_blocks "
+                "(adaptive depth subsumes the fixed override) and --dp")
 
     conf = load_yaml(args.conf_dir)
     exp_dir = os.path.join("Experiments", "checkpoint",
@@ -82,7 +95,24 @@ def main(argv=None):
             metrics_col.update(metrics.update())
 
     with progress:
-        if args.batch_size > 1:
+        if args.progressive_depth is not None:
+            from tdanet_tpu.progressive import separate_progressive_stream
+            lengths = [test_set.mix[i][1] for i in range(len(test_set))]
+            pstats = {}
+            stream = separate_progressive_stream(
+                model, params, lengths, lambda i: test_set[i],
+                depth1=args.progressive_depth,
+                threshold=args.progressive_threshold,
+                batch_size=max(args.batch_size, 1), stats=pstats)
+            for done, (_, item, est) in enumerate(
+                    progress.track(stream, total=len(test_set))):
+                mix, sources, key = item
+                emit(done, mix, sources, key, est)
+            print(f"progressive: depth {pstats['depth1']}->"
+                  f"{pstats['depth_full']}, escalated "
+                  f"{pstats['n_escalated']}/{pstats['n']} "
+                  f"(mean delta {pstats['delta_mean']:.4f})")
+        elif args.batch_size > 1:
             # streaming pipeline: wav IO prefetches on a thread and
             # metrics/wav-dump host work overlaps the next batch's
             # device compute (one-deep dispatch pipeline)

@@ -119,3 +119,81 @@ def separate_progressive(model, params, mixes, depth1=8, depth_full=None,
     return ests, {"delta": deltas, "escalated": escalated,
                   "depth1": depth1, "depth_full": depth_full,
                   "n_escalated": int(escalated.sum())}
+
+
+def separate_progressive_stream(model, params, lengths, get_item,
+                                depth1=8, depth_full=None, threshold=0.05,
+                                batch_size=8, group_size=None,
+                                compute_dtype=None, lattice=None,
+                                prefetch=2, stats=None):
+    """Adaptive-depth eval stream over variable-length utterances —
+    the progressive counterpart of
+    :func:`tdanet_tpu.utils.separator.separate_batched_stream` (same
+    interface: ``lengths[i]`` plans buckets without loading audio,
+    ``get_item(i)`` is prefetched on a reader thread, yields
+    ``(i, item, est)`` with ``est`` trimmed to the true length and
+    energy-renormalized exactly like the fixed-depth eval path).
+
+    Utterances are bucketed on the model's stride lattice (each bucket
+    shape compiles its own stage pair) and processed in groups of
+    ``group_size`` (default ``4 * batch_size``) so stage-2 escalations
+    POOL across stage-1 batches — a group with 5 flagged utterances
+    spread over 4 batches runs one escalation batch, not four.
+
+    ``stats`` (optional dict) is updated in place with the running
+    escalation census: ``n``, ``n_escalated``, ``delta_mean``,
+    ``depth1``, ``depth_full``.
+    """
+    import queue as _queue
+    import threading
+
+    lattice = lattice or getattr(model, "lcm", 1)
+    group = group_size or 4 * batch_size
+    n = len(lengths)
+    buckets = {}
+    for i in range(n):
+        target = -(-int(lengths[i]) // lattice) * lattice
+        buckets.setdefault(target, []).append(i)
+    plan = []  # (target, [idx, ...]) per progressive group
+    for target, idxs in sorted(buckets.items()):
+        for s in range(0, len(idxs), group):
+            plan.append((target, idxs[s:s + group]))
+
+    q = _queue.Queue(maxsize=max(1, prefetch) * batch_size)
+
+    def reader():
+        for _target, chunk in plan:
+            for i in chunk:
+                q.put(get_item(i))
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+
+    if stats is not None:
+        stats.update(n=0, n_escalated=0, delta_sum=0.0, depth1=depth1,
+                     depth_full=(depth_full if depth_full is not None
+                                 else model.num_blocks))
+    for target, chunk in plan:
+        items = [q.get() for _ in chunk]
+        mixes = np.zeros((len(chunk), target), np.float32)
+        for row, it in enumerate(items):
+            w = np.asarray(it[0], np.float32)
+            mixes[row, :w.shape[-1]] = w
+        ests, info = separate_progressive(
+            model, params, mixes, depth1=depth1, depth_full=depth_full,
+            threshold=threshold, batch_size=batch_size,
+            compute_dtype=compute_dtype)
+        if stats is not None:
+            stats["n"] += len(chunk)
+            stats["n_escalated"] += info["n_escalated"]
+            stats["delta_sum"] += float(info["delta"].sum())
+            stats["delta_mean"] = stats["delta_sum"] / stats["n"]
+        for row, i in enumerate(chunk):
+            mix = np.asarray(items[row][0], np.float32)
+            T = mix.shape[-1]
+            out = ests[row, :, :T]
+            # per-utterance energy renorm over the true region — same
+            # semantics as the fixed-depth eval path (utils/separator.py)
+            scale = np.abs(mix).sum() / (np.abs(out).sum() + 1e-8)
+            yield i, items[row], out * scale
+    t.join()

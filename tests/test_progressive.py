@@ -11,7 +11,8 @@ import jax
 import jax.numpy as jnp
 
 from tdanet_tpu.models import TDANetBest
-from tdanet_tpu.progressive import separate_progressive
+from tdanet_tpu.progressive import (separate_progressive,
+                                    separate_progressive_stream)
 
 CFG = dict(out_channels=32, in_channels=64, upsampling_depth=4,
            enc_kernel_size=4, num_sources=2, sample_rate=8000)
@@ -100,3 +101,74 @@ def test_policy_partial_escalation(setup):
         want = np.asarray(single(params, jnp.asarray(mixes[i]),
                                  D_FULL if esc else D1))
         np.testing.assert_allclose(ests[i], want, rtol=1e-4, atol=1e-5)
+
+
+def _stream_items(model, lengths, seed=1):
+    """Variable-length (mix, sources, key) items like an eval dataset."""
+    rng = np.random.default_rng(seed)
+    items = [((rng.standard_normal(L) * 0.1).astype(np.float32),
+              (rng.standard_normal((2, L)) * 0.1).astype(np.float32),
+              f"utt{i}") for i, L in enumerate(lengths)]
+    return items
+
+
+def test_stream_matches_fixed_depth_eval(setup):
+    """The progressive stream with threshold=inf must reproduce the
+    fixed depth-d1 eval path per utterance: lattice-pad, separate, trim
+    to the true length, energy-renormalize — on variable-length input
+    that spans several buckets and pools stage batches."""
+    model, params, _ = setup
+    lat = model.lcm
+    lengths = [lat * 3, lat * 3 - 7, lat * 5, lat * 3, lat * 5 - 1]
+    items = _stream_items(model, lengths)
+
+    got = {}
+    stats = {}
+    stream = separate_progressive_stream(
+        model, params, lengths, lambda i: items[i], depth1=D1,
+        threshold=np.inf, batch_size=2, group_size=3, stats=stats)
+    for i, item, est in stream:
+        assert item[2] == f"utt{i}"
+        got[i] = est
+    assert sorted(got) == list(range(len(lengths)))
+    assert stats["n"] == len(lengths) and stats["n_escalated"] == 0
+    assert stats["depth1"] == D1 and stats["depth_full"] == D_FULL
+
+    single = jax.jit(lambda p, w: model.apply(
+        p, w[None], num_blocks=D1)[0])
+    for i, L in enumerate(lengths):
+        target = -(-L // lat) * lat
+        pad = np.zeros(target, np.float32)
+        pad[:L] = items[i][0]
+        out = np.asarray(single(params, jnp.asarray(pad)))[:, :L]
+        scale = np.abs(items[i][0]).sum() / (np.abs(out).sum() + 1e-8)
+        assert got[i].shape == (2, L)
+        np.testing.assert_allclose(got[i], out * scale,
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_stream_escalation_pools_and_is_exact(setup):
+    """threshold=-1 escalates everything: stream output must equal the
+    full-depth fixed eval per utterance, and the stats census must
+    record every escalation."""
+    model, params, _ = setup
+    lat = model.lcm
+    lengths = [lat * 3, lat * 3, lat * 3 - 5, lat * 3]
+    items = _stream_items(model, lengths, seed=2)
+
+    stats = {}
+    got = dict((i, est) for i, _it, est in separate_progressive_stream(
+        model, params, lengths, lambda i: items[i], depth1=D1,
+        threshold=-1.0, batch_size=2, stats=stats))
+    assert stats["n_escalated"] == len(lengths)
+    assert stats["delta_mean"] > 0
+
+    single = jax.jit(lambda p, w: model.apply(p, w[None])[0])
+    for i, L in enumerate(lengths):
+        target = -(-L // lat) * lat
+        pad = np.zeros(target, np.float32)
+        pad[:L] = items[i][0]
+        out = np.asarray(single(params, jnp.asarray(pad)))[:, :L]
+        scale = np.abs(items[i][0]).sum() / (np.abs(out).sum() + 1e-8)
+        np.testing.assert_allclose(got[i], out * scale,
+                                   rtol=1e-4, atol=1e-5)
