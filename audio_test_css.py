@@ -35,7 +35,15 @@ def main(argv=None):
                    "sp: ONE sequence-parallel full-utterance forward, "
                    "time sharded over all local devices (no stitching "
                    "seams; beyond-reference capability)")
+    p.add_argument("--progressive_depth", type=int, default=None,
+                   help="adaptive-depth segment separation (stitch mode): "
+                        "stage 1 at this depth, exact continuation of "
+                        "unconverged segments to full depth "
+                        "(tdanet_tpu/progressive.py)")
+    p.add_argument("--progressive_threshold", type=float, default=0.05)
     args, _ = p.parse_known_args(argv)
+    if args.progressive_depth is not None and args.mode != "stitch":
+        p.error("--progressive_depth only applies to --mode stitch")
 
     conf = load_yaml(args.conf_dir)
     exp_dir = os.path.join("Experiments", "checkpoint",
@@ -89,7 +97,10 @@ def main(argv=None):
     t0 = time.time()
     for idx in range(len(test_set)):
         f_name, segments, pad_len = test_set[idx]
-        streams = stitch_segments(model, params, segments, overlap_len)
+        streams = stitch_segments(
+            model, params, segments, overlap_len,
+            progressive_depth=args.progressive_depth,
+            progressive_threshold=args.progressive_threshold)
         if pad_len:
             streams = streams[:, :-pad_len]
         for s in range(streams.shape[0]):

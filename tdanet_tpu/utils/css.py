@@ -5,10 +5,16 @@ cosine-similarity permutation alignment across the overlap region.
 TPU-friendly formulation: all segments of an utterance are separated in
 ONE batched jit call (the reference loops segments one by one), then the
 permutation chain is resolved with a cheap host scan over the overlap
-cosine scores.
+cosine scores. Optionally the per-segment forward is progressive
+(adaptive depth): every segment runs at a cheap depth and only the
+segments whose recurrence hasn't converged continue — exactly — to full
+depth (tdanet_tpu/progressive.py), which suits long-form audio where
+most segments are single-speaker-easy and a few overlaps are hard.
 """
 
 from __future__ import annotations
+
+from functools import lru_cache
 
 import numpy as np
 
@@ -21,21 +27,40 @@ def _cos(a, b, eps=1e-8):
                  ((np.linalg.norm(a) * np.linalg.norm(b)) + eps))
 
 
-def stitch_segments(model, params, segments, overlap_len: int) -> np.ndarray:
+@lru_cache(maxsize=8)
+def _segment_fwd(model):
+    # one jitted program per model: a fresh lambda per stitch call would
+    # RETRACE (and on TPU recompile, minutes) once per utterance in the
+    # CSS eval loop. vmap over segments: the unfixed-MHA models attend
+    # over the batch axis, so a plain batched forward would mix segments
+    # and diverge from the reference's one-segment-at-a-time loop
+    # (audio_test_css.py:111); vmap keeps batch=1 semantics while
+    # executing all segments fused.
+    return jax.jit(jax.vmap(lambda p, s: model.apply(p, s[None])[0],
+                            in_axes=(None, 0)))
+
+
+def stitch_segments(model, params, segments, overlap_len: int,
+                    progressive_depth: int | None = None,
+                    progressive_threshold: float = 0.05) -> np.ndarray:
     """segments: list of (seg_len,) arrays -> stitched (n_src, total_len).
 
     Follows the 2-source alignment rule of the reference: for each segment
     k>0, keep or swap the pair according to the sum of overlap cosine
     similarities with the previous segment's tails.
+
+    ``progressive_depth``: if set, segments are separated adaptively —
+    stage 1 at this depth, exact continuation to full depth for segments
+    whose convergence proxy exceeds ``progressive_threshold``.
     """
     segs = np.stack([np.asarray(s, np.float32) for s in segments])  # (K, L)
-    # vmap over segments: the unfixed-MHA models attend over the batch
-    # axis, so a plain batched forward would mix segments and diverge from
-    # the reference's one-segment-at-a-time loop (audio_test_css.py:111);
-    # vmap keeps batch=1 semantics while executing all segments fused.
-    fwd = jax.jit(jax.vmap(lambda p, s: model.apply(p, s[None])[0],
-                           in_axes=(None, 0)))
-    est = np.asarray(fwd(params, jnp.asarray(segs)))
+    if progressive_depth is not None:
+        from tdanet_tpu.progressive import separate_progressive
+        est, _ = separate_progressive(
+            model, params, segs, depth1=progressive_depth,
+            threshold=progressive_threshold)
+    else:
+        est = np.asarray(_segment_fwd(model)(params, jnp.asarray(segs)))
     # est: (K, n_src, L)
     K, n_src, L = est.shape
     assert n_src == 2, "reference stitching is defined for 2 sources"

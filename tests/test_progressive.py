@@ -172,3 +172,29 @@ def test_stream_escalation_pools_and_is_exact(setup):
         scale = np.abs(items[i][0]).sum() / (np.abs(out).sum() + 1e-8)
         np.testing.assert_allclose(got[i], out * scale,
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_progressive_css_stitch(setup):
+    """stitch_segments(progressive_depth=d1, threshold=-1) must equal
+    the plain (full-depth) stitch — the progressive forward at
+    escalate-everything IS the fixed forward; threshold=inf gives the
+    depth-d1 stitch (different output, same shape)."""
+    from tdanet_tpu.utils.css import stitch_segments
+    model, params, _ = setup
+    lat = model.lcm
+    rng = np.random.default_rng(7)
+    segs = [(rng.standard_normal(lat * 3) * 0.1).astype(np.float32)
+            for _ in range(3)]
+    overlap = lat
+
+    want = stitch_segments(model, params, segs, overlap)
+    got = stitch_segments(model, params, segs, overlap,
+                          progressive_depth=D1,
+                          progressive_threshold=-1.0)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    shallow = stitch_segments(model, params, segs, overlap,
+                              progressive_depth=D1,
+                              progressive_threshold=np.inf)
+    assert shallow.shape == want.shape
+    assert not np.allclose(shallow, want, atol=1e-3)
