@@ -21,6 +21,8 @@ of the same padded input, CPU mesh).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 import jax
@@ -65,11 +67,19 @@ def separate_sp(model, params, wav, mesh: Mesh | None = None,
         wav = wav[None]
     padded, orig = pad_for_sp(wav, model, n_sp)
 
+    fwd, in_sh = _sp_forward(model, mesh, compute_dtype)
+    est = fwd(params, jax.device_put(padded, in_sh))
+    return np.asarray(est, np.float32)[0, :, :orig]
+
+
+@lru_cache(maxsize=16)
+def _sp_forward(model, mesh, compute_dtype):
+    # one jitted program per (model, mesh, dtype): a fresh lambda per
+    # separate_sp call would retrace — and on TPU recompile, minutes —
+    # once per utterance in the `audio_test_css.py --mode sp` loop
     in_sh = NamedSharding(mesh, P(None, "sp"))
     rep = NamedSharding(mesh, P())
-
     fwd = jax.jit(
         lambda p, x: model.apply(p, x, compute_dtype=compute_dtype),
         in_shardings=(rep, in_sh), out_shardings=rep)
-    est = fwd(params, jax.device_put(padded, in_sh))
-    return np.asarray(est, np.float32)[0, :, :orig]
+    return fwd, in_sh
