@@ -50,10 +50,9 @@ def main(argv=None):
         p.error("--dp requires the batched eval path: set --batch_size "
                 "to a multiple of --dp (batch_size=1 is the reference "
                 "single-utterance loop)")
-    if args.progressive_depth is not None and (
-            args.num_blocks is not None or (args.dp or 1) > 1):
+    if args.progressive_depth is not None and args.num_blocks is not None:
         p.error("--progressive_depth is exclusive with --num_blocks "
-                "(adaptive depth subsumes the fixed override) and --dp")
+                "(adaptive depth subsumes the fixed override)")
 
     conf = load_yaml(args.conf_dir)
     exp_dir = os.path.join("Experiments", "checkpoint",
@@ -103,7 +102,8 @@ def main(argv=None):
                 model, params, lengths, lambda i: test_set[i],
                 depth1=args.progressive_depth,
                 threshold=args.progressive_threshold,
-                batch_size=max(args.batch_size, 1), stats=pstats)
+                batch_size=max(args.batch_size, 1), stats=pstats,
+                mesh=mesh)
             for done, (_, item, est) in enumerate(
                     progress.track(stream, total=len(test_set))):
                 mix, sources, key = item

@@ -62,7 +62,7 @@ def _compiled_stages(model, depth1, n_more, rest, compute_dtype):
 
 def separate_progressive(model, params, mixes, depth1=8, depth_full=None,
                          threshold=0.05, batch_size=8,
-                         compute_dtype=None):
+                         compute_dtype=None, mesh=None):
     """Adaptive-depth separation of ``mixes`` (N, T) equal-length
     mixtures. Returns ``(ests, info)``: ests (N, n_src, T) float32 in
     input order; info carries per-utterance ``delta``, the boolean
@@ -73,6 +73,10 @@ def separate_progressive(model, params, mixes, depth1=8, depth_full=None,
     ``np.inf`` escalates nothing (== fixed depth1). Stage-1 states are
     kept on device until the escalation pass, so memory scales with N —
     chunk the corpus for very large N.
+
+    ``mesh``: dp scale-out (same contract as separate_batched): every
+    stage-1/stage-2 batch shards its batch axis over 'dp', params
+    replicate, and the escalation gather runs on the sharded state.
     """
     mixes = np.asarray(mixes, np.float32)
     N, T = mixes.shape
@@ -85,6 +89,14 @@ def separate_progressive(model, params, mixes, depth1=8, depth_full=None,
     n_src = model.num_sources
     stage1, stage2 = _compiled_stages(model, depth1, n_more, rest,
                                       compute_dtype)
+    x_sharding = None
+    if mesh is not None:
+        from tdanet_tpu.parallel.mesh import dp_batch_setup
+        x_sharding, params = dp_batch_setup(mesh, batch_size, params)
+
+    def _place(x):
+        return jnp.asarray(x) if x_sharding is None else \
+            jax.device_put(x, x_sharding)
 
     ests = np.zeros((N, n_src, T), np.float32)
     deltas = np.zeros(N, np.float32)
@@ -93,7 +105,7 @@ def separate_progressive(model, params, mixes, depth1=8, depth_full=None,
         n_rows = min(N, s0 + batch_size) - s0
         xb = np.zeros((batch_size, T), np.float32)
         xb[:n_rows] = mixes[s0:s0 + n_rows]
-        est, st = stage1(params, jnp.asarray(xb))
+        est, st = stage1(params, _place(xb))
         ests[s0:s0 + n_rows] = np.asarray(est, np.float32)[:n_rows]
         deltas[s0:s0 + n_rows] = np.asarray(st["delta"],
                                             np.float32)[:n_rows]
@@ -113,6 +125,10 @@ def separate_progressive(model, params, mixes, depth1=8, depth_full=None,
                                 np.int64)])
             st = jax.tree_util.tree_map(
                 lambda a: a[jnp.asarray(pad_idx)], state_cat)
+            if x_sharding is not None:
+                # re-shard the gathered rows over dp so stage 2 runs
+                # the same one compiled dp program every batch
+                st = jax.device_put(st, x_sharding)
             est2 = stage2(params, st)
             ests[chunk] = np.asarray(est2, np.float32)[:len(chunk)]
 
@@ -125,7 +141,7 @@ def separate_progressive_stream(model, params, lengths, get_item,
                                 depth1=8, depth_full=None, threshold=0.05,
                                 batch_size=8, group_size=None,
                                 compute_dtype=None, lattice=None,
-                                prefetch=2, stats=None):
+                                prefetch=2, stats=None, mesh=None):
     """Adaptive-depth eval stream over variable-length utterances —
     the progressive counterpart of
     :func:`tdanet_tpu.utils.separator.separate_batched_stream` (same
@@ -142,7 +158,8 @@ def separate_progressive_stream(model, params, lengths, get_item,
 
     ``stats`` (optional dict) is updated in place with the running
     escalation census: ``n``, ``n_escalated``, ``delta_mean``,
-    ``depth1``, ``depth_full``.
+    ``depth1``, ``depth_full``. ``mesh``: dp scale-out, forwarded to
+    :func:`separate_progressive` (batch_size must divide dp).
     """
     import queue as _queue
     import threading
@@ -182,7 +199,7 @@ def separate_progressive_stream(model, params, lengths, get_item,
         ests, info = separate_progressive(
             model, params, mixes, depth1=depth1, depth_full=depth_full,
             threshold=threshold, batch_size=batch_size,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, mesh=mesh)
         if stats is not None:
             stats["n"] += len(chunk)
             stats["n_escalated"] += info["n_escalated"]

@@ -137,6 +137,7 @@ def test_css_sp_mode_cli(debug_config, tmp_path):
     # in-process AudioTrainer fixture does not) — freeze it here
     conf_path = os.path.join(exp_dir, "conf.yml")
     if not os.path.exists(conf_path):
+        os.makedirs(exp_dir, exist_ok=True)  # standalone-run safe
         with open(conf_path, "w") as f:
             yaml.safe_dump(json.loads(json.dumps(debug_config)), f)
     rng = np.random.default_rng(4)

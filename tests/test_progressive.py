@@ -174,6 +174,33 @@ def test_stream_escalation_pools_and_is_exact(setup):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_progressive_dp_mesh_matches_single_device(setup):
+    """separate_progressive over a dp=2 mesh must equal the unsharded
+    run exactly (same compiled math, batch axis sharded) — including
+    the escalation gather on the dp-sharded stage-1 state."""
+    import jax as _jax
+    from tdanet_tpu.parallel import make_mesh
+    model, params, mixes = setup
+    mesh = make_mesh(dp=2, tp=1, devices=_jax.devices()[:2])
+
+    _, info0 = separate_progressive(model, params, mixes, depth1=D1,
+                                    threshold=np.inf, batch_size=2)
+    thr = float(np.median(info0["delta"]))
+    want, info_w = separate_progressive(model, params, mixes, depth1=D1,
+                                        threshold=thr, batch_size=2)
+    got, info_g = separate_progressive(model, params, mixes, depth1=D1,
+                                       threshold=thr, batch_size=2,
+                                       mesh=mesh)
+    assert info_g["n_escalated"] == info_w["n_escalated"] > 0
+    np.testing.assert_allclose(info_g["delta"], info_w["delta"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    with pytest.raises(ValueError, match="multiple"):
+        separate_progressive(model, params, mixes, depth1=D1,
+                             batch_size=3, mesh=mesh)
+
+
 def test_progressive_css_stitch(setup):
     """stitch_segments(progressive_depth=d1, threshold=-1) must equal
     the plain (full-depth) stitch — the progressive forward at
