@@ -187,7 +187,8 @@ def separate_progressive_stream(model, params, lengths, get_item,
     t.start()
 
     if stats is not None:
-        stats.update(n=0, n_escalated=0, delta_sum=0.0, depth1=depth1,
+        stats.update(n=0, n_escalated=0, delta_sum=0.0, delta_mean=0.0,
+                     depth1=depth1,
                      depth_full=(depth_full if depth_full is not None
                                  else model.num_blocks))
     for target, chunk in plan:
