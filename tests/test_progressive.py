@@ -225,3 +225,16 @@ def test_progressive_css_stitch(setup):
                               progressive_threshold=np.inf)
     assert shallow.shape == want.shape
     assert not np.allclose(shallow, want, atol=1e-3)
+
+
+def test_stream_empty_plan_census(setup):
+    """Zero utterances: the stream must terminate and still leave a
+    complete census (audio_test.py prints delta_mean unconditionally)."""
+    model, params, _ = setup
+    stats = {}
+    out = list(separate_progressive_stream(
+        model, params, [], lambda i: None, depth1=D1, stats=stats))
+    assert out == []
+    assert stats["n"] == 0 and stats["n_escalated"] == 0
+    assert stats["delta_mean"] == 0.0
+    assert stats["depth1"] == D1 and stats["depth_full"] == D_FULL
