@@ -19,6 +19,9 @@ from tdanet_tpu import datas as data_zoo
 from tdanet_tpu import models as model_zoo
 from tdanet_tpu.metrics import MetricsTracker
 from tdanet_tpu.utils import load_yaml, separate, write_wav
+from tdanet_tpu.utils.misc import honor_jax_platforms_env
+
+honor_jax_platforms_env()  # the axon sitecustomize clobbers JAX_PLATFORMS
 
 
 def main(argv=None):

@@ -18,6 +18,9 @@ import numpy as np
 from tdanet_tpu import datas as data_zoo
 from tdanet_tpu import models as model_zoo
 from tdanet_tpu.utils import load_yaml, write_wav
+from tdanet_tpu.utils.misc import honor_jax_platforms_env
+
+honor_jax_platforms_env()  # the axon sitecustomize clobbers JAX_PLATFORMS
 from tdanet_tpu.utils.css import stitch_segments
 
 

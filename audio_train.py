@@ -15,6 +15,10 @@ if os.environ.get("TDANET_COORDINATOR"):
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                    + " --xla_force_host_platform_device_"
                                      "count=2")
+        # keep env + config in agreement: honor_jax_platforms_env()
+        # below re-asserts the env var, so a stray JAX_PLATFORMS=axon
+        # inherited from the launching shell must not survive FORCE_CPU
+        os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
         jax.config.update("jax_platforms", "cpu")
     from tdanet_tpu.parallel import initialize_distributed
@@ -26,6 +30,9 @@ if os.environ.get("TDANET_COORDINATOR"):
 import jax
 
 from tdanet_tpu.utils import parse_config, save_yaml
+from tdanet_tpu.utils.misc import honor_jax_platforms_env
+
+honor_jax_platforms_env()  # the axon sitecustomize clobbers JAX_PLATFORMS
 
 
 def main(config):

@@ -20,6 +20,13 @@ import time
 import jax
 import jax.numpy as jnp
 
+from tdanet_tpu.utils.misc import honor_jax_platforms_env
+
+honor_jax_platforms_env()  # BENCH on CPU: JAX_PLATFORMS=cpu must win
+# even though this container's axon plugin registration overwrites
+# jax_platforms at interpreter start (a wedged tunnel otherwise hangs
+# the CPU-only driver-contract run at first device use)
+
 
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "24"))

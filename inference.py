@@ -5,6 +5,9 @@ import sys
 
 from tdanet_tpu.models import BaseModel
 from tdanet_tpu.utils import read_wav, separate, write_wav
+from tdanet_tpu.utils.misc import honor_jax_platforms_env
+
+honor_jax_platforms_env()  # the axon sitecustomize clobbers JAX_PLATFORMS
 
 
 def main(ckpt="pretrained/lsr2_4ms/pytorch_model.bin",

@@ -3,9 +3,28 @@ utils/nets_utils.py:64-272, utils/lightning_utils.py:28-30)."""
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def honor_jax_platforms_env():
+    """Re-assert ``os.environ['JAX_PLATFORMS']`` as jax config.
+
+    In this container the axon sitecustomize's PJRT-plugin registration
+    overwrites ``jax_platforms`` to ``"axon,cpu"`` at interpreter start
+    (axon/register/pjrt.py), so the standard env knob is silently
+    ignored — and when the TPU tunnel is wedged, even a CPU-only
+    subprocess (``JAX_PLATFORMS=cpu python bench.py``) hangs at its
+    first device use while jax dials the dead axon backend. Entry
+    scripts call this before touching devices; it is a no-op when the
+    env var is unset or in a standard JAX install (where the env was
+    already honored)."""
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms:
+        jax.config.update("jax_platforms", platforms)
 
 
 def pad_x_to_y(x, y, axis: int = -1):

@@ -17,6 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Keep the env var in agreement: the CLIs re-assert JAX_PLATFORMS from
+# the environment at import (utils.misc.honor_jax_platforms_env, the
+# counter to sitecustomize's clobber), so a stray JAX_PLATFORMS=axon
+# inherited from the shell would flip an in-process `import audio_test`
+# back to the tunnel; CLI subprocesses spawned by tests inherit it too.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import pytest  # noqa: E402
 
