@@ -78,9 +78,23 @@ def separate_progressive(model, params, mixes, depth1=8, depth_full=None,
     stage-1/stage-2 batch shards its batch axis over 'dp', params
     replicate, and the escalation gather runs on the sharded state.
     """
+    if not hasattr(model, "apply_stage1"):
+        raise TypeError(
+            f"progressive separation needs a model with the staged "
+            f"apply surface (apply_stage1/apply_stage2/pad_rest — the "
+            f"flagship TDANetBest); {type(model).__name__} has none. "
+            f"Use utils.separator.separate_batched for other models.")
     mixes = np.asarray(mixes, np.float32)
     N, T = mixes.shape
     depth_full = depth_full if depth_full is not None else model.num_blocks
+    if depth_full > model.num_blocks:
+        # continue_apply would happily extrapolate past the trained
+        # iteration count that Recurrent.apply rejects — same loud
+        # failure here instead of a mislabeled sweep (components.py
+        # n_iter bound)
+        raise ValueError(
+            f"depth_full ({depth_full}) exceeds the trained depth "
+            f"({model.num_blocks})")
     n_more = depth_full - depth1
     if n_more <= 0:
         raise ValueError(f"depth_full ({depth_full}) must exceed "
@@ -91,6 +105,9 @@ def separate_progressive(model, params, mixes, depth1=8, depth_full=None,
                                       compute_dtype)
     x_sharding = None
     if mesh is not None:
+        # no-op (device_put short-circuits) when the caller already
+        # placed the params — separate_progressive_stream does the
+        # setup once so per-group calls don't re-transfer the tree
         from tdanet_tpu.parallel.mesh import dp_batch_setup
         x_sharding, params = dp_batch_setup(mesh, batch_size, params)
 
@@ -111,7 +128,10 @@ def separate_progressive(model, params, mixes, depth1=8, depth_full=None,
                                             np.float32)[:n_rows]
         states.append(st)
 
-    escalated = deltas > threshold
+    # threshold <= 0 is the documented "escalate everything" A/B mode —
+    # a strict > would skip exact-zero deltas (e.g. all-silent inputs)
+    escalated = (deltas > threshold) if threshold > 0 else \
+        np.ones(N, bool)
     hard = np.where(escalated)[0]
     if len(hard):
         # device-side gather: utterance i sits at concat row i (every
@@ -161,30 +181,21 @@ def separate_progressive_stream(model, params, lengths, get_item,
     ``depth1``, ``depth_full``. ``mesh``: dp scale-out, forwarded to
     :func:`separate_progressive` (batch_size must divide dp).
     """
-    import queue as _queue
-    import threading
+    from tdanet_tpu.utils.separator import (plan_lattice_buckets,
+                                            start_prefetch_reader,
+                                            trim_renorm)
 
+    if mesh is not None:
+        # place the replicated param tree ONCE; the per-group
+        # separate_progressive calls then re-put a no-op (the
+        # fixed-depth stream does the same hoist)
+        from tdanet_tpu.parallel.mesh import dp_batch_setup
+        _, params = dp_batch_setup(mesh, batch_size, params)
     lattice = lattice or getattr(model, "lcm", 1)
     group = group_size or 4 * batch_size
-    n = len(lengths)
-    buckets = {}
-    for i in range(n):
-        target = -(-int(lengths[i]) // lattice) * lattice
-        buckets.setdefault(target, []).append(i)
-    plan = []  # (target, [idx, ...]) per progressive group
-    for target, idxs in sorted(buckets.items()):
-        for s in range(0, len(idxs), group):
-            plan.append((target, idxs[s:s + group]))
-
-    q = _queue.Queue(maxsize=max(1, prefetch) * batch_size)
-
-    def reader():
-        for _target, chunk in plan:
-            for i in chunk:
-                q.put(get_item(i))
-
-    t = threading.Thread(target=reader, daemon=True)
-    t.start()
+    plan = plan_lattice_buckets(lengths, lattice, group)
+    q, t = start_prefetch_reader(plan, get_item,
+                                 max(1, prefetch) * batch_size)
 
     if stats is not None:
         stats.update(n=0, n_escalated=0, delta_sum=0.0, delta_mean=0.0,
@@ -208,10 +219,5 @@ def separate_progressive_stream(model, params, lengths, get_item,
             stats["delta_mean"] = stats["delta_sum"] / stats["n"]
         for row, i in enumerate(chunk):
             mix = np.asarray(items[row][0], np.float32)
-            T = mix.shape[-1]
-            out = ests[row, :, :T]
-            # per-utterance energy renorm over the true region — same
-            # semantics as the fixed-depth eval path (utils/separator.py)
-            scale = np.abs(mix).sum() / (np.abs(out).sum() + 1e-8)
-            yield i, items[row], out * scale
+            yield i, items[row], trim_renorm(mix, ests[row])
     t.join()

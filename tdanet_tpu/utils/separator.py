@@ -124,6 +124,57 @@ def separate(model, params, wav, compute_dtype=None, lattice=None,
     return np.asarray(out) if is_numpy else out
 
 
+def plan_lattice_buckets(lengths, lattice, group):
+    """Shared eval-stream planning: bucket utterance indices by their
+    length padded up to the model's stride ``lattice`` (each padded
+    shape compiles once), then split every bucket into chunks of
+    ``group`` indices. Returns ``[(padded_len, [idx, ...]), ...]`` —
+    corpus order preserved within a bucket. Used by both the
+    fixed-depth and the progressive eval streams so their bucketing
+    semantics cannot drift."""
+    buckets = {}
+    for i in range(len(lengths)):
+        target = -(-int(lengths[i]) // lattice) * lattice
+        buckets.setdefault(target, []).append(i)
+    plan = []
+    for target, idxs in sorted(buckets.items()):
+        for s in range(0, len(idxs), group):
+            plan.append((target, idxs[s:s + group]))
+    return plan
+
+
+def start_prefetch_reader(plan, get_item, depth):
+    """Start the eval-stream reader thread: prefetches ``get_item(i)``
+    in plan order, at most ``depth`` items ahead. Returns
+    ``(queue, thread)``; the consumer must ``get()`` exactly one item
+    per planned index (overlaps audio IO with device compute — the
+    reference eval loop, audio_test.py:111-134, serializes them)."""
+    import queue as _queue
+    import threading
+
+    q = _queue.Queue(maxsize=max(1, depth))
+
+    def reader():
+        for _target, chunk in plan:
+            for i in chunk:
+                q.put(get_item(i))
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    return q, t
+
+
+def trim_renorm(mix, est_row):
+    """Trim a padded (n_src, T_pad) estimate to the mixture's true
+    length and apply the reference's per-utterance energy
+    renormalization over the true region (separator.py:63). The single
+    definition both eval streams share."""
+    T = mix.shape[-1]
+    out = est_row[:, :T]
+    scale = np.abs(mix).sum() / (np.abs(out).sum() + 1e-8)
+    return out * scale
+
+
 def separate_batched_stream(model, params, lengths, get_item,
                             batch_size=8, compute_dtype=None, lattice=None,
                             prefetch=2, num_blocks=None, mesh=None):
@@ -146,33 +197,13 @@ def separate_batched_stream(model, params, lengths, get_item,
     ``item`` is whatever ``get_item`` returned (its first element must
     be the mixture waveform).
     """
-    import queue as _queue
-    import threading
-
     if mesh is not None:  # dp scale-out, same contract as separate_batched
         from tdanet_tpu.parallel.mesh import dp_batch_setup
         x_sharding, params = dp_batch_setup(mesh, batch_size, params)
     lattice = lattice or getattr(model, "lcm", 1)
-    n = len(lengths)
-    buckets = {}
-    for i in range(n):
-        target = -(-int(lengths[i]) // lattice) * lattice
-        buckets.setdefault(target, []).append(i)
-    plan = []  # (target, [idx, ...]) per dispatched batch
-    for target, idxs in sorted(buckets.items()):
-        for s in range(0, len(idxs), batch_size):
-            plan.append((target, idxs[s:s + batch_size]))
-
-    q = _queue.Queue(maxsize=max(1, prefetch) * batch_size)
-
-    def reader():
-        for target, chunk in plan:
-            for i in chunk:
-                q.put((i, get_item(i)))
-        q.put(None)
-
-    t = threading.Thread(target=reader, daemon=True)
-    t.start()
+    plan = plan_lattice_buckets(lengths, lattice, batch_size)
+    q, t = start_prefetch_reader(plan, get_item,
+                                 max(1, prefetch) * batch_size)
 
     fwd_cache = {}
     kw = depth_kw(num_blocks)
@@ -191,18 +222,11 @@ def separate_batched_stream(model, params, lengths, get_item,
         est = np.asarray(est_dev, np.float32)
         for row, i in enumerate(chunk):
             mix = np.asarray(items[row][0], np.float32)
-            T = mix.shape[-1]
-            out = est[row, :, :T]
-            scale = np.abs(mix).sum() / (np.abs(out).sum() + 1e-8)
-            yield i, items[row], out * scale
+            yield i, items[row], trim_renorm(mix, est[row])
 
     pending = None
     for target, chunk in plan:
-        items = []
-        for _ in chunk:
-            got = q.get()
-            assert got is not None
-            items.append(got[1])
+        items = [q.get() for _ in chunk]
         rows = batch_size if mesh is not None else len(chunk)
         batch = np.zeros((rows, target), np.float32)
         for row, it in enumerate(items):

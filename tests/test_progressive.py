@@ -227,6 +227,27 @@ def test_progressive_css_stitch(setup):
     assert not np.allclose(shallow, want, atol=1e-3)
 
 
+def test_guards(setup):
+    """Loud failures instead of mislabeled sweeps: depth_full beyond
+    the trained recurrence count, and a model without the staged apply
+    surface; threshold=0 must escalate exact-zero deltas (all-silent
+    input) — the documented 'escalate everything' A/B mode."""
+    model, params, mixes = setup
+    with pytest.raises(ValueError, match="trained depth"):
+        separate_progressive(model, params, mixes, depth1=D1,
+                             depth_full=D_FULL + 1)
+
+    class NotStaged:
+        num_blocks = D_FULL
+    with pytest.raises(TypeError, match="TDANetBest"):
+        separate_progressive(NotStaged(), params, mixes, depth1=D1)
+
+    silent = np.zeros((2, 8000), np.float32)
+    _, info = separate_progressive(model, params, silent, depth1=D1,
+                                   threshold=0.0, batch_size=2)
+    assert info["n_escalated"] == 2  # delta == 0 exactly, still escalated
+
+
 def test_stream_empty_plan_census(setup):
     """Zero utterances: the stream must terminate and still leave a
     complete census (audio_test.py prints delta_mean unconditionally)."""
