@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from tdanet_tpu import ops
-from tdanet_tpu.utils.separator import depth_kw
+from tdanet_tpu.utils.separator import depth_kw, trim_renorm
 
 
 def _resolve(fut, result=None, exc=None):
@@ -261,6 +261,11 @@ class MultiStreamSeparator:
         self._streams: Dict[object, _StreamState] = {}
 
     def open(self, stream_id) -> None:
+        if stream_id in self._streams:
+            # silent replacement would drop buffered samples and stitch
+            # tails (and a re-open at capacity is not a new stream)
+            raise ValueError(f"stream {stream_id!r} is already open; "
+                             f"close() it first")
         if len(self._streams) >= self.max_streams:
             raise ValueError(f"max_streams={self.max_streams} exceeded")
         self._streams[stream_id] = _StreamState(
@@ -308,17 +313,43 @@ class MultiStreamSeparator:
     def flush(self, stream_id) -> np.ndarray:
         """Drain any full segments still buffered (a client may flush
         without a final step()), then process the zero-padded tail and
-        close the stream."""
+        close the stream.
+
+        The whole backlog is computable from the buffer up front
+        (segment slices advance by ``hop``; permutation alignment is
+        host-side post-processing), so a k-segment backlog shares
+        ``ceil((k+1)/max_streams)`` batched dispatches instead of
+        paying one padded max_streams dispatch — and its ~30 ms tunnel
+        RPC floor — per segment."""
         st = self._streams[stream_id]
+        segs: List[np.ndarray] = []
+        n, off = st.buffer.shape[0], 0
+        while n - off >= st.seg_len:
+            segs.append(st.buffer[off:off + st.seg_len])
+            off += st.hop
+        # the zero-padded tail is known up front too — same bookkeeping
+        # as _StreamState.tail_segment evaluated after the full
+        # segments would have been consumed
+        emitted_overlap = st.overlap_len if (st.consumed + len(segs)) \
+            else 0
+        tail_meta = None
+        if n - off > emitted_overlap:
+            pad_len = st.seg_len - (n - off)
+            segs.append(np.concatenate(
+                [st.buffer[off:], np.zeros(pad_len, np.float32)]))
+            tail_meta = (emitted_overlap, pad_len)
+        ests: List[np.ndarray] = []
+        for s0 in range(0, len(segs), self.max_streams):
+            chunk = segs[s0:s0 + self.max_streams]
+            ests.extend(self._dispatch(chunk)[:len(chunk)])
         parts: List[np.ndarray] = []
-        while st.ready():
-            est = self._dispatch([st.peek_segment()])[0]
+        n_full = len(segs) - (1 if tail_meta else 0)
+        for est in ests[:n_full]:
             parts.append(st.finalize(est))
-        tail = st.tail_segment()
-        if tail is not None:
-            seg, emitted_overlap, pad_len = tail
-            est = _perm_align(st.tails, self._dispatch([seg])[0],
-                              self.n_src, self.overlap_len)
+        if tail_meta:
+            emitted_overlap, pad_len = tail_meta
+            est = _perm_align(st.tails, ests[-1], self.n_src,
+                              self.overlap_len)
             parts.append(est[:, emitted_overlap:self.seg_len - pad_len])
         self.close(stream_id)
         if parts:
@@ -416,11 +447,19 @@ class AsyncBatchServer:
 
     def submit(self, wav: np.ndarray):
         from concurrent.futures import Future
+        wav = np.asarray(wav, np.float32)
+        if wav.ndim != 1 or wav.size == 0:
+            # reject HERE: a malformed row would otherwise raise during
+            # batch assembly on the dispatch thread, killing it and
+            # hanging every other client's future
+            raise ValueError(
+                f"submit() takes one mono waveform (T,), got shape "
+                f"{wav.shape}")
         with self._submit_lock:
             if not self._alive:
                 raise RuntimeError("AsyncBatchServer is closed")
             fut: Future = Future()
-            self._q.put((np.asarray(wav, np.float32), fut))
+            self._q.put((wav, fut))
         return fut
 
     def separate(self, wav: np.ndarray, timeout=None) -> np.ndarray:
@@ -529,10 +568,13 @@ class AsyncBatchServer:
                 continue
             for s in range(0, len(reqs), self.max_batch):
                 group = reqs[s:s + self.max_batch]
-                x = np.zeros((self.max_batch, target), np.float32)
-                for row, (wav, _) in enumerate(group):
-                    x[row, :wav.shape[-1]] = wav
                 try:
+                    # assembly inside the try: any surprise here must
+                    # resolve the group's futures, never kill the
+                    # dispatch thread (which would hang every client)
+                    x = np.zeros((self.max_batch, target), np.float32)
+                    for row, (wav, _) in enumerate(group):
+                        x[row, :wav.shape[-1]] = wav
                     est_dev = fwd(self.params, self._place(x))  # async
                 except Exception as e:  # resolve, don't hang clients
                     for _, fut in group:
@@ -567,8 +609,4 @@ class AsyncBatchServer:
                     _resolve(fut, exc=e)
                 continue
             for row, (wav, fut) in enumerate(group):
-                T = wav.shape[-1]
-                out = est[row, :, :T]
-                scale = (np.abs(wav).sum()
-                         / (np.abs(out).sum() + 1e-8))
-                _resolve(fut, result=out * scale)
+                _resolve(fut, result=trim_renorm(wav, est[row]))

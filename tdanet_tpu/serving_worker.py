@@ -235,22 +235,28 @@ class RecyclingMultiStreamSeparator:
         nxt = self._standby if self._standby is not None else self._launch()
         self._standby = None
         self._proc, self._conn = self._adopt(nxt)
-        self._rpc("restore_state", state)
+        try:
+            self._rpc("restore_state", state)
+        finally:
+            # retire the old worker even when restore fails (the engine
+            # is then poisoned and needs respawn(), but the retiring
+            # process — holding exactly the leaked RSS this machinery
+            # exists to bound — must not outlive the failure)
+            try:
+                old_conn.send(("stop", None))
+                # drain the ack so the retiring worker's send never hits
+                # a closed pipe (it would die with BrokenPipeError noise
+                # and a nonzero exit code instead of a clean stop)
+                if old_conn.poll(10):
+                    old_conn.recv()
+                old_conn.close()
+            except (BrokenPipeError, EOFError, OSError):
+                pass
+            old_proc.join(timeout=10)
+            if old_proc.is_alive():
+                old_proc.terminate()
         self._steps_this_worker = 0
         self.generation += 1
-        try:
-            old_conn.send(("stop", None))
-            # drain the ack so the retiring worker's send never hits a
-            # closed pipe (it would die with BrokenPipeError noise and a
-            # nonzero exit code instead of a clean stop)
-            if old_conn.poll(10):
-                old_conn.recv()
-            old_conn.close()
-        except (BrokenPipeError, EOFError, OSError):
-            pass
-        old_proc.join(timeout=10)
-        if old_proc.is_alive():
-            old_proc.terminate()
         if self._prewarm:
             self._standby = self._launch()
 
@@ -273,7 +279,11 @@ class RecyclingMultiStreamSeparator:
         try:
             self._rpc("stop")
         except WorkerError:
-            pass
+            # a timed-out stop already _poison()ed the worker (conn and
+            # proc are None and the process was terminated) — nothing
+            # left to close
+            if self._proc is None:
+                return
         self._conn.close()
         self._proc.join(timeout=10)
         if self._proc.is_alive():
@@ -290,6 +300,10 @@ class RecyclingMultiStreamSeparator:
 
     @property
     def worker_pid(self) -> int:
+        if self._proc is None:
+            raise WorkerError(
+                "no live worker: a previous command timed out and the "
+                "worker was killed — call respawn()")
         return self._proc.pid
 
     def worker_rss_kb(self) -> int:

@@ -147,7 +147,11 @@ class AudioTrainer:
         # (reference: audio_train.py:174-181)
         self._wandb = None
         exp = config.get("exp", {})
-        if exp.get("project") and not exp.get("disable_wandb"):
+        # rank-0 only under multi-host, like the file exports in
+        # finalize() — every rank init'ing would create N duplicate
+        # wandb runs each double-logging the same epoch rows
+        if exp.get("project") and not exp.get("disable_wandb") \
+                and jax.process_index() == 0:
             try:
                 import wandb
                 mode = "offline" if exp.get("offline", True) else "online"
@@ -200,6 +204,14 @@ class AudioTrainer:
         rank in the same iteration — restore_last is a collective."""
         try:
             self.state, _ = self.ckpt.restore_last(self.state)
+            # roll the host-side scheduler back with the params —
+            # exactly like resume — or the lr schedule runs ahead of
+            # the restored trajectory (each batch's scheduler.step()
+            # would overwrite the checkpointed lr in opt_state)
+            if self.scheduler is not None:
+                extras = self.ckpt.load_extras()
+                if "scheduler" in extras:
+                    self.scheduler.load_state_dict(extras["scheduler"])
         except FileNotFoundError:
             self.state = create_train_state(
                 self.model, self.optimizer,
@@ -430,7 +442,11 @@ class AudioTrainer:
                     best_val, bad_epochs = val_loss, 0
                 else:
                     bad_epochs += 1
-                    if bad_epochs > patience:
+                    # >= : stop after exactly `patience` consecutive
+                    # non-improving val epochs, matching Lightning's
+                    # EarlyStopping wait_count semantics
+                    # (audio_train.py:156-158)
+                    if bad_epochs >= patience:
                         print_only(f"Early stopping at epoch {epoch}")
                         break
 

@@ -142,6 +142,13 @@ def test_multistream_overflow_and_capacity():
         assert False, "expected capacity error"
     except ValueError:
         pass
+    # re-opening a live stream must raise, not silently drop its
+    # buffered samples and stitch tails (and not hit the capacity error)
+    try:
+        multi.open("a")
+        assert False, "expected already-open error"
+    except ValueError as e:
+        assert "already open" in str(e)
     # a backlog of several segments drains over repeated steps
     multi.push("a", np.zeros(SR * 3, np.float32))
     total = 0
@@ -192,17 +199,20 @@ def test_async_batch_server_matches_batched_path():
 
 
 def test_async_batch_server_error_propagates():
-    """A failing request resolves the future with the exception instead
-    of hanging the client."""
+    """Malformed requests raise AT submit() (a 2-D or empty row would
+    otherwise blow up batch assembly on the dispatch thread, killing it
+    and hanging every other client) — and the server keeps serving
+    afterwards."""
+    import pytest
+
     from tdanet_tpu.serving import AsyncBatchServer
     model, params = build()
     server = AsyncBatchServer(model, params, max_batch=2, max_wait_ms=1)
     try:
-        bad = server.submit(np.zeros((0,), np.float32))  # empty audio
-        try:
-            bad.result(timeout=120)
-        except Exception:
-            pass  # either outcome is fine as long as it RESOLVES
+        with pytest.raises(ValueError, match="mono"):
+            server.submit(np.zeros((0,), np.float32))  # empty audio
+        with pytest.raises(ValueError, match="mono"):
+            server.submit(np.zeros((2, SR), np.float32))  # stacked chans
         ok = server.separate(
             np.random.default_rng(1).standard_normal(SR)
             .astype(np.float32) * 0.1, timeout=120)
@@ -231,6 +241,25 @@ def test_multistream_flush_without_step_drains_backlog():
                .astype(np.float32) * 0.1)
     out = multi.flush("b")
     assert out.shape == (2, multi.seg_len)
+
+    # flush's batched backlog dispatch must emit exactly what the
+    # incremental step() path emits for the same audio (rows are
+    # independent under the vmapped forward)
+    wav = rng.standard_normal(T).astype(np.float32) * 0.1
+    multi.open("inc")
+    multi.push("inc", wav)
+    parts = []
+    while True:
+        got = multi.step()
+        if not got:
+            break
+        parts.append(got["inc"])
+    parts.append(multi.flush("inc"))
+    incremental = np.concatenate(parts, axis=1)
+    multi.open("cold")
+    multi.push("cold", wav)
+    cold = multi.flush("cold")
+    np.testing.assert_array_equal(cold, incremental)
 
 
 def test_async_batch_server_close_resolves_queued_and_rejects_new():
