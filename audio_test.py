@@ -25,7 +25,7 @@ honor_jax_platforms_env()  # the axon sitecustomize clobbers JAX_PLATFORMS
 
 
 def main(argv=None):
-    p = argparse.ArgumentParser()
+    p = argparse.ArgumentParser(allow_abbrev=False)
     p.add_argument("--conf_dir", required=True)
     p.add_argument("--ckpt_path", default=None)
     p.add_argument("--save_output", default="False")
@@ -48,7 +48,7 @@ def main(argv=None):
                    help="shard each eval batch over the first N devices "
                         "(data-parallel scale-out; batch_size must be a "
                         "multiple of N)")
-    args, overrides = p.parse_known_args(argv)
+    args = p.parse_args(argv)  # reject typo'd flags loudly
     if args.dp is not None and args.dp > 1 and args.batch_size <= 1:
         p.error("--dp requires the batched eval path: set --batch_size "
                 "to a multiple of --dp (batch_size=1 is the reference "
@@ -140,4 +140,5 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    sys.exit(0 if main() else 0)
+    # empty/NaN-metric runs must be visible to CI gates
+    sys.exit(0 if main() else 1)

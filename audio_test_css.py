@@ -25,7 +25,7 @@ from tdanet_tpu.utils.css import stitch_segments
 
 
 def main(argv=None):
-    p = argparse.ArgumentParser()
+    p = argparse.ArgumentParser(allow_abbrev=False)
     p.add_argument("--conf_dir", required=True)
     p.add_argument("--ckpt_path", default=None)
     p.add_argument("--save_path", default="./separated_css")
@@ -44,7 +44,7 @@ def main(argv=None):
                         "unconverged segments to full depth "
                         "(tdanet_tpu/progressive.py)")
     p.add_argument("--progressive_threshold", type=float, default=0.05)
-    args, _ = p.parse_known_args(argv)
+    args = p.parse_args(argv)  # reject typo'd flags loudly
     if args.progressive_depth is not None and args.mode != "stitch":
         p.error("--progressive_depth only applies to --mode stitch")
 
@@ -64,7 +64,12 @@ def main(argv=None):
         else dc.get("overlap", 0.25)
     if conf["datamodule"]["data_name"] == "LibriCSSDataModule" \
             and args.test_dir is None:
-        dm = data_zoo.LibriCSSDataModule(**dc)
+        # CLI --segment/--overlap must reach the dataset's slicer too —
+        # the stitcher's overlap_len below is computed from the resolved
+        # values, and a config/CLI disagreement would silently misalign
+        # the overlap-add
+        dc_eff = dict(dc, segment=segment, overlap=overlap)
+        dm = data_zoo.LibriCSSDataModule(**dc_eff)
     else:
         # any config + --test_dir of long wavs works
         if args.test_dir is None:
@@ -73,8 +78,6 @@ def main(argv=None):
         dm = data_zoo.LibriCSSDataModule(
             test_dir=args.test_dir, n_src=dc.get("n_src", 2),
             sample_rate=sr, segment=segment, overlap=overlap)
-    dm.setup()
-    _, _, test_set = dm.make_sets
 
     if args.mode == "sp":
         from tdanet_tpu.utils import read_wav
@@ -96,6 +99,10 @@ def main(argv=None):
               f"[{len(names)}] items (sp={mesh.shape['sp']}).")
         return
 
+    # setup() decodes and slices every test wav — only the stitch path
+    # consumes the segments (sp re-reads whole files itself)
+    dm.setup()
+    _, _, test_set = dm.make_sets
     overlap_len = int(sr * segment * overlap)
     t0 = time.time()
     for idx in range(len(test_set)):

@@ -157,13 +157,26 @@ class Loader:
             return mix, src, names
 
         def producer():
-            futures = [pool.submit(load_batch, b) for b in range(n_batches)]
+            # bounded in-flight futures: submitting the whole epoch up
+            # front would let the pool race ahead of the consumer and
+            # retain every completed batch in its Future (the queue
+            # bound only throttles results already taken out of a
+            # future) — unbounded host memory on a big corpus
+            from collections import deque
+            inflight: deque = deque()
             try:
-                for fut in futures:
-                    q.put(fut.result())
+                for b in range(n_batches):
+                    inflight.append(pool.submit(load_batch, b))
+                    if len(inflight) > self.num_workers + self.prefetch:
+                        q.put(inflight.popleft().result())
+                while inflight:
+                    q.put(inflight.popleft().result())
                 q.put(None)
-            except Exception:  # cancelled on early consumer exit
-                q.put(None)
+            except Exception as e:
+                # surface the error to the consumer (a missing/corrupt
+                # wav must fail the epoch loudly, not silently truncate
+                # it); also the normal path out on early consumer exit
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -172,6 +185,8 @@ class Loader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, Exception):
+                    raise item
                 yield item
         finally:
             pool.shutdown(wait=False, cancel_futures=True)

@@ -94,17 +94,6 @@ def _spec_for_path(path: str, rules) -> P:
     return P()  # replicated
 
 
-def _tree_paths(params, prefix=""):
-    out = {}
-    for k, v in params.items():
-        p = f"{prefix}.{k}" if prefix else k
-        if isinstance(v, dict):
-            out.update(_tree_paths(v, p))
-        else:
-            out[p] = v
-    return out
-
-
 def param_shardings(params, mesh: Mesh, rules=None, verbose=True):
     """Pytree of NamedShardings matching ``params``' structure.
 

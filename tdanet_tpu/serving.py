@@ -57,16 +57,18 @@ def _cos(a, b):
 
 def _perm_align(tails: Optional[np.ndarray], est: np.ndarray,
                 n_src: int, overlap_len: int) -> np.ndarray:
-    """Reorder est's sources to best match the previous segment's tails
-    by overlap cosine similarity (audio_test_css.py:122-127; greedy
-    pairing for n>2)."""
+    """Reorder est's sources to best match the reference tails by
+    overlap cosine similarity (audio_test_css.py:122-131; greedy
+    pairing for n>2). Reference-exact quirks: the tails are the FIRST
+    segment's (frozen — see _StreamState.finalize), and a tied score
+    swaps (keep requires strict >)."""
     if tails is None or overlap_len == 0:
         return est
     head = est[:, :overlap_len]
     if n_src == 2:
         keep = _cos(tails[0], head[0]) + _cos(tails[1], head[1])
         swap = _cos(tails[0], head[1]) + _cos(tails[1], head[0])
-        return est[::-1] if swap > keep else est
+        return est if keep > swap else est[::-1]
     order, used = [], set()
     for i in range(n_src):
         best, bj = -2.0, None
@@ -105,8 +107,15 @@ class _StreamState:
         """Align a separated segment, advance the buffer, and return the
         newly finalized samples."""
         est = _perm_align(self.tails, est, self.n_src, self.overlap_len)
-        self.tails = est[:, -self.overlap_len:] if self.overlap_len \
-            else est[:, :0]
+        if self.consumed == 0:
+            # reference quirk (load-bearing for parity with the offline
+            # stitcher and the torch CSS loop): the comparison tails are
+            # FROZEN at the first segment's estimates — every later
+            # segment aligns against segment 0, not its predecessor
+            # (audio_test_css.py:117-120 assigns s1_t_minus_1 only at
+            # k == 0)
+            self.tails = est[:, -self.overlap_len:] if self.overlap_len \
+                else est[:, :0]
         out = est if self.consumed == 0 else est[:, self.overlap_len:]
         self.buffer = self.buffer[self.hop:]
         self.consumed += 1

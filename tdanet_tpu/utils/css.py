@@ -61,9 +61,31 @@ def stitch_segments(model, params, segments, overlap_len: int,
             threshold=progressive_threshold)
     else:
         est = np.asarray(_segment_fwd(model)(params, jnp.asarray(segs)))
-    # est: (K, n_src, L)
+    return stitch_chain(est, overlap_len)
+
+
+def stitch_chain(est: np.ndarray, overlap_len: int) -> np.ndarray:
+    """Resolve the permutation chain over pre-separated segments
+    ``est`` (K, 2, L) — the host half of :func:`stitch_segments`,
+    split out so the chain can be pinned against the reference loop.
+
+    Reference-exact quirks (audio_test_css.py:116-131, both
+    load-bearing for oracle parity — do not "fix"):
+
+    - the comparison tails are FROZEN at segment 0's estimates
+      (``s1_t_minus_1``/``s2_t_minus_1`` are assigned only under
+      ``k == 0`` and never updated), so every segment aligns against
+      segment 0, not its predecessor;
+    - a tied score SWAPS (the keep branch requires
+      ``comb1_score > comb2_score``).
+    """
     K, n_src, L = est.shape
     assert n_src == 2, "reference stitching is defined for 2 sources"
+    if K > 1 and overlap_len < 1:
+        # the reference crashes here too (cosine over an empty slice);
+        # fail with a message instead
+        raise ValueError("stitching needs overlap_len >= 1 "
+                         "(got 0 — use a nonzero --overlap)")
 
     out1, out2 = [est[0, 0]], [est[0, 1]]
     tail1, tail2 = est[0, 0][-overlap_len:], est[0, 1][-overlap_len:]
@@ -71,9 +93,8 @@ def stitch_segments(model, params, segments, overlap_len: int,
         s1, s2 = est[k, 0], est[k, 1]
         comb1 = _cos(tail1, s1[:overlap_len]) + _cos(tail2, s2[:overlap_len])
         comb2 = _cos(tail1, s2[:overlap_len]) + _cos(tail2, s1[:overlap_len])
-        if comb2 > comb1:
+        if not comb1 > comb2:  # reference keeps ONLY on strict >
             s1, s2 = s2, s1
         out1.append(s1[overlap_len:])
         out2.append(s2[overlap_len:])
-        tail1, tail2 = s1[-overlap_len:], s2[-overlap_len:]
     return np.stack([np.concatenate(out1), np.concatenate(out2)])

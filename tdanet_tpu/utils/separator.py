@@ -227,8 +227,11 @@ def separate_batched_stream(model, params, lengths, get_item,
     pending = None
     for target, chunk in plan:
         items = [q.get() for _ in chunk]
-        rows = batch_size if mesh is not None else len(chunk)
-        batch = np.zeros((rows, target), np.float32)
+        # always pad the batch axis to batch_size: a ragged final chunk
+        # would otherwise compile a SECOND multi-minute TPU program per
+        # bucket for its remainder shape (rows are independent under
+        # vmap; materialize() trims by chunk)
+        batch = np.zeros((batch_size, target), np.float32)
         for row, it in enumerate(items):
             w = np.asarray(it[0], np.float32)
             batch[row, :w.shape[-1]] = w

@@ -87,6 +87,30 @@ def test_loader_batches(tmp_path):
     assert len(names) == 2
 
 
+def test_loader_propagates_worker_errors(tmp_path):
+    """A corrupt/missing wav must fail the epoch loudly — the producer
+    used to swallow the exception and end the epoch early, silently
+    training on a truncated dataset."""
+    make_synth_split(str(tmp_path), n_utt=6, seconds=(3.5, 4.0))
+    ds = SeparationDataset(str(tmp_path), segment=3.0, sample_rate=SR)
+
+    class Corrupt:
+        def __len__(self):
+            return len(ds)
+
+        def __getitem__(self, i, rng=None):
+            if i == 3:
+                raise OSError("simulated unreadable wav")
+            return ds.__getitem__(i, rng)
+
+    loader = Loader(Corrupt(), batch_size=2, shuffle=False, num_workers=2)
+    try:
+        list(loader)
+        assert False, "expected the worker error to propagate"
+    except OSError as e:
+        assert "unreadable" in str(e)
+
+
 def test_datamodule_setup(tmp_path):
     for split in ("tr", "dev", "tt"):
         make_synth_split(str(tmp_path / split), seconds=(3.5, 4.0))
@@ -184,3 +208,62 @@ def test_apply_overrides():
     assert out["x"] is False
     assert out["new"]["key"] == "hi"
     assert conf["a"]["b"]["c"] == 1  # original untouched
+
+
+def test_stitch_chain_matches_reference_loop():
+    """Pin the permutation-chain semantics against an independent
+    transcription of the torch CSS loop (audio_test_css.py:109-131):
+    comparison tails FROZEN at segment 0 (s1_t_minus_1 assigned only at
+    k==0), tie SWAPS (keep requires comb1 > comb2). Random segments
+    with engineered sign flips exercise both keep and swap branches,
+    including a case where frozen-tail and previous-tail alignment
+    disagree."""
+    import numpy as np
+
+    from tdanet_tpu.utils.css import stitch_chain
+
+    def reference_loop(est, overlap_len):
+        def cos(a, b):
+            return float(np.dot(a, b) /
+                         (np.linalg.norm(a) * np.linalg.norm(b) + 1e-8))
+        out1, out2 = [est[0, 0]], [est[0, 1]]
+        t1, t2 = est[0, 0][-overlap_len:], est[0, 1][-overlap_len:]
+        for k in range(1, est.shape[0]):
+            s1, s2 = est[k, 0], est[k, 1]
+            comb1 = cos(t1, s1[:overlap_len]) + cos(t2, s2[:overlap_len])
+            comb2 = cos(t1, s2[:overlap_len]) + cos(t2, s1[:overlap_len])
+            if comb1 > comb2:
+                out1.append(s1[overlap_len:])
+                out2.append(s2[overlap_len:])
+            else:
+                out1.append(s2[overlap_len:])
+                out2.append(s1[overlap_len:])
+        return np.stack([np.concatenate(out1), np.concatenate(out2)])
+
+    rng = np.random.default_rng(0)
+    L, ov = 64, 16
+    for trial in range(20):
+        K = int(rng.integers(2, 6))
+        est = rng.standard_normal((K, 2, L)).astype(np.float32)
+        # make heads correlate with segment k-1's tails on odd trials so
+        # frozen-at-0 vs previous-tail alignment actually disagree
+        if trial % 2:
+            for k in range(1, K):
+                est[k, :, :ov] = est[k - 1, :, -ov:][::-1]
+        got = stitch_chain(est, ov)
+        want = reference_loop(est, ov)
+        np.testing.assert_array_equal(got, want)
+
+    # exact tie must SWAP (reference keeps only on strict >)
+    est = np.ones((2, 2, L), np.float32)
+    got = stitch_chain(est, ov)
+    want = reference_loop(est, ov)
+    np.testing.assert_array_equal(got, want)
+
+    # overlap_len=0 with multiple segments fails loudly (the reference
+    # crashes on the empty cosine slice; we raise a clear error)
+    try:
+        stitch_chain(np.zeros((2, 2, L), np.float32), 0)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "overlap" in str(e)
