@@ -43,7 +43,16 @@ class MetricsTracker:
                                            jnp.asarray(clean)[None]))
         sisnr_i = sisnr - sisnr_base
 
-        sdr, _, _ = sdr_pit(clean, estimate)
+        # Reference-exact quirk (wrapper.py:50-51, load-bearing for
+        # parity with reported numbers): fast_bss_eval loss functions
+        # take (est, ref) — est first, the torch loss convention — but
+        # the reference passes `sdr_pit_loss(clean, estimate)`, i.e.
+        # CLEAN in the estimate slot. The metric therefore projects the
+        # clean sources onto the ESTIMATE's delay span (a merely-delayed
+        # perfect estimate scores LOW). The baseline call
+        # `sdr_pit_loss(mix, clean)` is in the normal direction, so
+        # sdr_i mixes the two conventions. sdr_pit here is (refs, ests).
+        sdr, _, _ = sdr_pit(estimate, clean)
         sdr_base, _, _ = sdr_pit(clean, mix_rep)
         sdr_i = sdr - sdr_base
 

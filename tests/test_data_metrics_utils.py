@@ -172,6 +172,37 @@ def test_metrics_tracker(tmp_path):
     assert len(lines) == 1 + 1 + 2  # header + 1 utt + avg/std
 
 
+def test_metrics_tracker_sdr_direction(tmp_path):
+    """Pin the reference's swapped SDR projection direction
+    (wrapper.py:50-51): fast_bss_eval losses are (est, ref) but the
+    reference passes (clean, estimate), so the sdr column projects the
+    CLEAN onto the estimate's delay span, while the baseline (mix,
+    clean) is in the normal direction. A delayed-but-perfect estimate
+    makes the two directions differ by tens of dB, so this test fails
+    loudly if someone 'fixes' the direction."""
+    rng = np.random.default_rng(3)
+    T, d = 4000, 32
+    clean = rng.standard_normal((2, T)).astype(np.float32)
+    mix = clean.sum(0)
+    # estimate = clean delayed by d: projecting est onto clean's span
+    # is a single lag-d tap (near-perfect SDR); projecting clean onto
+    # est's span needs a non-causal advance (terrible SDR)
+    est = np.concatenate([np.zeros((2, d), np.float32), clean[:, :-d]], -1)
+
+    # fwd ~23 dB (not inf: the correlation-based filter uses the full
+    # ref autocorrelation vs a truncated-overlap crosscorrelation —
+    # fast_bss_eval computes the same sums); rev ~-9 dB
+    fwd, _, _ = sdr_pit(clean, est)   # normal direction: high
+    rev, _, _ = sdr_pit(est, clean)   # reference's direction: low
+    assert fwd > 15 and rev < 0 and fwd - rev > 20
+
+    tracker = MetricsTracker(str(tmp_path / "m.csv"))
+    row = tracker(mix, clean, est, "delayed")
+    assert abs(row["sdr"] - rev) < 1e-9  # quirk reproduced, not 'fixed'
+    base, _, _ = sdr_pit(clean, np.stack([mix, mix]))
+    assert abs(row["sdr_i"] - (rev - base)) < 1e-9
+
+
 def test_bss_eval_sdr_properties():
     rng = np.random.default_rng(1)
     refs = rng.standard_normal((2, 4000))
