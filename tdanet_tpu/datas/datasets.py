@@ -58,7 +58,12 @@ class SeparationDataset:
         self.audio_only = audio_only
         self.fps_len = None if segment is None else int(segment * fps)
         self.mouth_preprocess = mouth_preprocess or (lambda a: a)
-        source_keys = source_keys or [f"s{i + 1}" for i in range(n_src)]
+        # n_src=1 still reads BOTH s1/s2 manifests: the reference
+        # hardcodes sources_json to ["s1", "s2"] for n_src in (1, 2)
+        # (libri2mixdatamodule.py:57-60) and expands each utterance
+        # into one (mix, source) pair per source below
+        source_keys = source_keys or \
+            [f"s{i + 1}" for i in range(2 if n_src == 1 else n_src)]
 
         with open(os.path.join(json_dir, f"{mix_key}.json")) as f:
             mix_infos = json.load(f)
@@ -76,6 +81,21 @@ class SeparationDataset:
                                 if info[1] < self.seg_len)
             mix_infos = [mix_infos[i] for i in keep]
             sources_infos = [[src[i] for i in keep] for src in sources_infos]
+        if n_src == 1:
+            # single-target mode: each utterance becomes one item per
+            # source, target shape (1, T). Reference quirk (load-bearing
+            # for epoch-order parity, libri2mixdatamodule.py:68-95): the
+            # train-time expansion iterates the manifest BACKWARDS (the
+            # drop loop doubles as the build loop), so utterance order
+            # is reversed; the test branch iterates forwards.
+            order = range(len(mix_infos) - 1, -1, -1) if not self.test \
+                else range(len(mix_infos))
+            mix_exp, src_exp = [], []
+            for i in order:
+                for src in sources_infos:
+                    mix_exp.append(mix_infos[i])
+                    src_exp.append(src[i])
+            mix_infos, sources_infos = mix_exp, [src_exp]
         self.mix = mix_infos
         self.sources = sources_infos
         if self.drop_utt:

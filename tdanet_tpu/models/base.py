@@ -48,6 +48,24 @@ def available_models():
     return sorted(_MODEL_REGISTRY)
 
 
+def warn_unused_kwargs(cls_name: str, unused: Dict[str, Any]):
+    """Model ctors accept **unused for checkpoint/config compatibility,
+    but a silently swallowed kwarg is how a typo'd config key (e.g.
+    num_spks instead of num_sources) trains the wrong model — the
+    reference's torch modules would raise TypeError. Warn loudly.
+
+    ``n_src`` is exempt: every reference model serializes
+    ``model_args = {"n_src": 2}`` (TDANet_best.py:524) and its ctors
+    don't take it either — from_pretrain on a reference checkpoint
+    legitimately routes it here."""
+    unused = {k: v for k, v in unused.items() if k != "n_src"}
+    if unused:
+        import warnings
+        warnings.warn(
+            f"{cls_name} ignoring unknown kwargs {sorted(unused)} — "
+            "check the audionet_config key names", stacklevel=3)
+
+
 # ---------------------------------------------------------------------------
 # torch state-dict <-> pytree bridge
 # ---------------------------------------------------------------------------

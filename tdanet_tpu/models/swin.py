@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from tdanet_tpu import ops
+from tdanet_tpu.models.base import warn_unused_kwargs
 from tdanet_tpu.kernels import (
     roll_and_window_partition_xla,
     window_merge_and_roll_xla,
@@ -430,6 +431,7 @@ class SwinTransformer:
                  qkv_bias=True, qk_scale=None, drop_rate=0.0,
                  attn_drop_rate=0.0, drop_path_rate=0.1, ape=False,
                  patch_norm=True, **unused):
+        warn_unused_kwargs(type(self).__name__, unused)
         self.num_layers = len(depths)
         self.embed_dim = embed_dim
         self.ape = ape
@@ -489,6 +491,7 @@ class SwinTransformerSys:
                  drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.1,
                  ape=False, patch_norm=True, final_upsample="expand_first",
                  dim_scale=4, **unused):
+        warn_unused_kwargs(type(self).__name__, unused)
         self.num_layers = len(depths)
         self.embed_dim = embed_dim
         self.ape = ape

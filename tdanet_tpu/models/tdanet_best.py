@@ -14,7 +14,8 @@ import math
 import jax
 
 from tdanet_tpu import ops
-from tdanet_tpu.models.base import BaseModel, register_model
+from tdanet_tpu.models.base import BaseModel, register_model, \
+    warn_unused_kwargs
 from tdanet_tpu.models.components import Recurrent
 
 
@@ -23,6 +24,7 @@ class TDANetBest(BaseModel):
     def __init__(self, out_channels=128, in_channels=512, num_blocks=16,
                  upsampling_depth=4, enc_kernel_size=21, num_sources=2,
                  sample_rate=16000, fixed_mha=False, remat=False, **unused):
+        warn_unused_kwargs(type(self).__name__, unused)
         super().__init__(sample_rate=sample_rate)
         self.out_channels = out_channels
         self.in_channels = in_channels

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from tdanet_tpu import ops
 from tdanet_tpu.models import emcad as em
 from tdanet_tpu.models import transxnet as tx
-from tdanet_tpu.models.base import BaseModel, register_model
+from tdanet_tpu.models.base import BaseModel, register_model, \
+    warn_unused_kwargs
 from tdanet_tpu.models.components import (
     ConvNorm,
     ConvNormAct,
@@ -452,6 +453,7 @@ class _EraTDANet(BaseModel):
     def __init__(self, out_channels=128, in_channels=512, num_blocks=16,
                  upsampling_depth=5, enc_kernel_size=21, num_sources=2,
                  sample_rate=16000, feat_len=None, remat=False, **unused):
+        warn_unused_kwargs(type(self).__name__, unused)
         super().__init__(sample_rate=sample_rate)
         self.out_channels = out_channels
         self.in_channels = in_channels

@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 from tdanet_tpu import ops
-from tdanet_tpu.models.base import BaseModel, register_model
+from tdanet_tpu.models.base import BaseModel, register_model, \
+    warn_unused_kwargs
 from tdanet_tpu.models.components import (
     GatedRecurrent,
     Recurrent,
@@ -47,6 +48,7 @@ class _StandardTDANet(BaseModel):
     def __init__(self, out_channels=128, in_channels=512, num_blocks=16,
                  upsampling_depth=4, enc_kernel_size=21, num_sources=2,
                  sample_rate=16000, remat=False, **unused):
+        warn_unused_kwargs(type(self).__name__, unused)
         super().__init__(sample_rate=sample_rate)
         self.out_channels = out_channels
         self.in_channels = in_channels
@@ -211,6 +213,7 @@ class TDANetChunk(BaseModel):
     def __init__(self, out_channels=128, in_channels=512, num_blocks=16,
                  upsampling_depth=4, n_chunk=32, num_sources=2,
                  sample_rate=16000, **unused):
+        warn_unused_kwargs(type(self).__name__, unused)
         super().__init__(sample_rate=sample_rate)
         self.out_channels = out_channels
         self.in_channels = in_channels
@@ -278,6 +281,7 @@ class TDANetMultRes(_StandardTDANet):
     def __init__(self, out_channels=128, in_channels=512, num_blocks=16,
                  upsampling_depth=4, enc_kernel_size=21, num_sources=2,
                  sample_rate=16000, feat_len=None, kernels=3, **unused):
+        warn_unused_kwargs(type(self).__name__, unused)
         assert out_channels % kernels == 0
         super().__init__(out_channels, in_channels, num_blocks,
                          upsampling_depth, enc_kernel_size, num_sources,
@@ -355,6 +359,7 @@ class TDANetAttn(_StandardTDANet):
                  upsampling_depth=4, enc_kernel_size=21, num_sources=2,
                  sample_rate=16000, feat_len=None, fixed_len=None,
                  stride=None, **unused):
+        warn_unused_kwargs(type(self).__name__, unused)
         super().__init__(out_channels, in_channels, num_blocks,
                          upsampling_depth, enc_kernel_size, num_sources,
                          sample_rate)

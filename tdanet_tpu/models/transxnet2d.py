@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from tdanet_tpu import ops
+from tdanet_tpu.models.base import warn_unused_kwargs
 from tdanet_tpu.models.transxnet import trunc_normal_init
 
 _GELU = lambda x: jax.nn.gelu(x, approximate=False)
@@ -409,6 +410,7 @@ class TransXNet2D:
                  in_patch_size=7, in_stride=4, in_pad=3,
                  down_patch_size=3, down_stride=2, down_pad=1,
                  num_classes=1000, **unused):
+        warn_unused_kwargs(type(self).__name__, unused)
         a = self.ARCHS[arch] if isinstance(arch, str) else arch
         self.num_classes = num_classes
         layers = a["layers"]

@@ -87,6 +87,41 @@ def test_loader_batches(tmp_path):
     assert len(names) == 2
 
 
+def test_dataset_n_src1_pair_expansion(tmp_path):
+    """n_src=1 single-target mode (libri2mixdatamodule.py:68-95,121-146):
+    both s1/s2 manifests are read and each utterance becomes one
+    (mix, source) item per source, target shape (1, T). Reference
+    quirks pinned: train-time expansion iterates BACKWARDS (reversed
+    utterance order — the drop loop doubles as the build loop), test
+    iterates forwards."""
+    infos = make_synth_split(str(tmp_path))
+    seg = 3.0
+    kept = [i for i, (_, T) in enumerate(infos["mix_clean"])
+            if T >= int(seg * SR)]
+
+    ds = SeparationDataset(str(tmp_path), n_src=1, segment=seg,
+                           sample_rate=SR)
+    assert len(ds) == 2 * len(kept)
+    # reversed utterance order, s1 then s2 per utterance
+    for j, i in enumerate(reversed(kept)):
+        for s, skey in enumerate(("s1", "s2")):
+            item_idx = 2 * j + s
+            assert ds.mix[item_idx][0] == infos["mix_clean"][i][0]
+            assert ds.sources[0][item_idx][0] == infos[skey][i][0]
+    mix, src, name = ds[0]
+    assert src.shape == (1, int(seg * SR)) and mix.shape == src.shape[1:]
+
+    # test mode: forward order, full length
+    ds_t = SeparationDataset(str(tmp_path), n_src=1, segment=None,
+                             sample_rate=SR)
+    assert len(ds_t) == 2 * len(infos["mix_clean"])
+    assert ds_t.mix[0][0] == infos["mix_clean"][0][0]
+    assert ds_t.sources[0][1][0] == infos["s2"][0][0]
+    mix, src, _ = ds_t[0]
+    np.testing.assert_allclose(
+        src[0], read_wav(infos["s1"][0][0])[0], atol=1e-6)
+
+
 def test_loader_propagates_worker_errors(tmp_path):
     """A corrupt/missing wav must fail the epoch loudly — the producer
     used to swallow the exception and end the epoch early, silently
