@@ -53,6 +53,29 @@ def test_train_checkpoints_and_exports(debug_config):
     assert best["kept_steps"]
 
 
+def test_train_single_target_n_src1(debug_config, tmp_path):
+    """End-to-end n_src=1 single-target mode: the dataset expands each
+    utterance into one (mix, source) pair per source (target (1, T),
+    libri2mixdatamodule.py:68-95) and the model trains with
+    num_sources=1."""
+    from tdanet_tpu.system.training_loop import AudioTrainer
+    from tdanet_tpu.parallel import make_mesh
+
+    conf = json.loads(json.dumps(debug_config))  # deep copy
+    conf["datamodule"]["data_config"]["n_src"] = 1
+    conf["audionet"]["audionet_config"]["num_sources"] = 1
+    conf["training"] = dict(conf["training"], epochs=1)
+    conf["main_args"] = {"exp_dir": str(tmp_path / "nsrc1")}
+    mesh = make_mesh(dp=2, tp=1, devices=jax.devices()[:2])
+    trainer = AudioTrainer(conf, mesh=mesh)
+    history = trainer.fit()
+    assert np.isfinite(history[-1]["train_loss"])
+    # 4 utts * 2 sources, batch_size from debug config
+    assert len(trainer.datamodule.data_train) == 8
+    mix, src, _ = trainer.datamodule.data_train[0]
+    assert src.ndim == 2 and src.shape[0] == 1
+
+
 def test_resume_continues(debug_config):
     from tdanet_tpu.system.training_loop import AudioTrainer
     from tdanet_tpu.parallel import make_mesh
