@@ -99,10 +99,14 @@ class AudioTrainer:
         # (scripts/probe_train_remat.py): same step time, ~5x faster
         # compile (74 s vs 395 s), ~2.4 GB extra activations at the
         # recipe shape. Override with audionet_config.remat=true
-        # (full) or =false (none).
-        net_conf.setdefault("remat", "scales")
-        self.model = model_zoo.get(net["audionet_name"])(
-            sample_rate=sr, **net_conf)
+        # (full) or =false (none). Only injected when the model's ctor
+        # takes remat — variants without the knob would otherwise trip
+        # the unknown-kwarg warning on every construction.
+        cls = model_zoo.get(net["audionet_name"])
+        import inspect
+        if "remat" in inspect.signature(cls.__init__).parameters:
+            net_conf.setdefault("remat", "scales")
+        self.model = cls(sample_rate=sr, **net_conf)
 
         # data
         from tdanet_tpu import datas

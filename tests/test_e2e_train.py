@@ -76,6 +76,37 @@ def test_train_single_target_n_src1(debug_config, tmp_path):
     assert src.ndim == 2 and src.shape[0] == 1
 
 
+def test_train_from_reference_yaml(tmp_path):
+    """Config compatibility: the reference's VERBATIM tdanet_debug.yml
+    (TDANetMultRes + feat_len/kernels keys, gpus/parallel/log_freq/
+    pin_memory/persistent_workers extras, ReduceLROnPlateau, lr 2e-3)
+    trains through AudioTrainer with only data-dir/size overrides —
+    a reference user's YAML works unchanged."""
+    from tdanet_tpu.system.training_loop import AudioTrainer
+    from tdanet_tpu.parallel import make_mesh
+    from tdanet_tpu.utils import load_yaml
+
+    conf = load_yaml("/root/reference/configs/tdanet_debug.yml")
+    root = tmp_path / "data"
+    for split in ("tr", "dev", "tt"):
+        make_synth_split(str(root / split), n_utt=4, seconds=(1.2, 1.5),
+                         seed=1)
+    dc = conf["datamodule"]["data_config"]
+    dc.update(train_dir=str(root / "tr"), valid_dir=str(root / "dev"),
+              test_dir=str(root / "tt"), batch_size=2, segment=1.2,
+              num_workers=1)
+    conf["audionet"]["audionet_config"].update(num_blocks=1)
+    conf["training"] = dict(conf["training"], epochs=1)
+    conf["main_args"] = {"exp_dir": str(tmp_path / "refcfg")}
+    mesh = make_mesh(dp=2, tp=1, devices=jax.devices()[:2])
+    trainer = AudioTrainer(conf, mesh=mesh)
+    assert type(trainer.model).__name__ == "TDANetMultRes"
+    history = trainer.fit()
+    assert np.isfinite(history[-1]["train_loss"])
+    # reference lr honored (2e-3, configs/tdanet_debug.yml optimizer)
+    assert abs(history[-1]["lr"] - 2e-3) < 1e-6
+
+
 def test_resume_continues(debug_config):
     from tdanet_tpu.system.training_loop import AudioTrainer
     from tdanet_tpu.parallel import make_mesh
