@@ -10,7 +10,11 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from tdanet_tpu.losses import PITLossWrapper, pairwise_neg_sisdr
+from tdanet_tpu.losses import (
+    PITLossWrapper,
+    pairwise_neg_sisdr,
+    pairwise_neg_snr,
+)
 from tdanet_tpu.metrics.bss_eval import sdr_pit
 
 
@@ -84,65 +88,69 @@ class MetricsTracker:
 
 
 class SPlitMetricsTracker:
-    """2+1-source split metrics: separate accumulators for the two-speaker
-    channels vs the single channel (splitwrapper.py:23-121)."""
+    """2+1-source split metrics (splitwrapper.py:23-121): the three
+    estimates are FIRST globally reordered by a 3-source neg-SNR PIT
+    (splitwrapper.py:51-53, return_ests=True), then SNR and SI-SNR
+    (+improvement vs the stacked-mixture baseline) are computed on the
+    reordered [0:2] block and on reordered channel [2] separately.
+    Assumes exactly 3 sources, like the reference."""
 
-    COLUMNS = ["snt_id", "two_si-snr", "two_si-snr_i", "one_si-snr",
-               "one_si-snr_i"]
+    COLUMNS = ["snt_id", "one_snr", "one_snr_i", "one_si-snr",
+               "one_si-snr_i", "two_snr", "two_snr_i", "two_si-snr",
+               "two_si-snr_i"]
 
     def __init__(self, save_file: str = ""):
-        self.two_sisnrs, self.two_sisnrs_i = [], []
-        self.one_sisnrs, self.one_sisnrs_i = [], []
+        self.acc = {c: [] for c in self.COLUMNS[1:]}
         self.results_csv = open(save_file, "w") if save_file else None
         self.writer = None
         if self.results_csv is not None:
             self.writer = csv.DictWriter(self.results_csv,
                                          fieldnames=self.COLUMNS)
             self.writer.writeheader()
-        self.pit_sisnr = PITLossWrapper(pairwise_neg_sisdr, pit_from="pw_mtx",
-                                        threshold_byloss=False)
+        # reference defaults: threshold_byloss=True (a no-op at the
+        # per-utterance batch=1 these trackers run at)
+        self.pit_sisnr = PITLossWrapper(pairwise_neg_sisdr,
+                                        pit_from="pw_mtx")
+        self.pit_snr = PITLossWrapper(pairwise_neg_snr, pit_from="pw_mtx")
 
     def __call__(self, mix, clean, estimate, key):
-        mix = np.asarray(mix)
-        clean = np.asarray(clean)
-        estimate = np.asarray(estimate)
+        """mix (T,), clean (3, T), estimate (3, T)."""
+        cl = jnp.asarray(np.asarray(clean))[None]
+        est = jnp.asarray(np.asarray(estimate))[None]
+        # global reorder under the 3-source neg-SNR permutation
+        _, ests_np = self.pit_snr(est, cl, return_ests=True)
+        mix_rep = jnp.asarray(
+            np.stack([np.asarray(mix)] * clean.shape[0], 0))[None]
 
-        def pit(e, c):
-            return -float(self.pit_sisnr(jnp.asarray(e)[None],
-                                         jnp.asarray(c)[None]))
+        def pit(fn, e, c):
+            return float(fn(e, c))
 
-        two_e, one_e = estimate[:2], estimate[2:]
-        two_c, one_c = clean[:2], clean[2:]
-        mix2 = np.stack([mix] * 2, 0)
-        mix1 = mix[None][:one_c.shape[0]]
+        vals = {}
+        for name, fn in (("si-snr", self.pit_sisnr), ("snr", self.pit_snr)):
+            two = pit(fn, ests_np[:, 0:2], cl[:, 0:2])
+            one = pit(fn, ests_np[:, 2:3], cl[:, 2:3])
+            two_base = pit(fn, mix_rep[:, 0:2], cl[:, 0:2])
+            one_base = pit(fn, mix_rep[:, 2:3], cl[:, 2:3])
+            vals[f"two_{name}"] = -two
+            vals[f"two_{name}_i"] = -(two - two_base)
+            vals[f"one_{name}"] = -one
+            vals[f"one_{name}_i"] = -(one - one_base)
 
-        two = pit(two_e, two_c)
-        two_base = pit(mix2, two_c)
-        one = pit(one_e, one_c) if one_c.shape[0] else 0.0
-        one_base = pit(mix1, one_c) if one_c.shape[0] else 0.0
-
-        row = {"snt_id": key, "two_si-snr": two,
-               "two_si-snr_i": two - two_base, "one_si-snr": one,
-               "one_si-snr_i": one - one_base}
+        row = {"snt_id": key, **{c: vals[c] for c in self.COLUMNS[1:]}}
         if self.writer:
             self.writer.writerow(row)
-        self.two_sisnrs.append(two)
-        self.two_sisnrs_i.append(two - two_base)
-        self.one_sisnrs.append(one)
-        self.one_sisnrs_i.append(one - one_base)
+        for c in self.COLUMNS[1:]:
+            self.acc[c].append(vals[c])
         return row
 
     def update(self):
-        return {"two_si-snr_i": float(np.mean(self.two_sisnrs_i)),
-                "one_si-snr_i": float(np.mean(self.one_sisnrs_i))}
+        return {"two_si-snr_i": float(np.mean(self.acc["two_si-snr_i"])),
+                "one_si-snr_i": float(np.mean(self.acc["one_si-snr_i"]))}
 
     def final(self):
         for name, fn in (("avg", np.mean), ("std", np.std)):
             row = {"snt_id": name,
-                   "two_si-snr": fn(self.two_sisnrs),
-                   "two_si-snr_i": fn(self.two_sisnrs_i),
-                   "one_si-snr": fn(self.one_sisnrs),
-                   "one_si-snr_i": fn(self.one_sisnrs_i)}
+                   **{c: fn(self.acc[c]) for c in self.COLUMNS[1:]}}
             if self.writer:
                 self.writer.writerow(row)
         if self.results_csv:
