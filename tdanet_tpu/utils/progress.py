@@ -27,6 +27,21 @@ THEME = {
 }
 
 
+class RichProgressBarTheme:
+    """Name-parity shim for the reference's style dataclass
+    (lightning_utils.py:32-56) — same attribute names and defaults, so
+    `RichProgressBarTheme.metrics`-style lookups migrate unchanged."""
+
+    description = "#FF4500"
+    progress_bar = "#f92672"
+    progress_bar_finished = "#b7cc8a"
+    progress_bar_pulse = "#f92672"
+    batch_progress = "#fc608a"
+    time = "#45ada2"
+    processing_speed = "#DC143C"
+    metrics = "#228B22"
+
+
 if _HAVE_RICH:
 
     class BatchesProcessedColumn(ProgressColumn):
@@ -87,3 +102,13 @@ else:  # pragma: no cover
 
     def eval_progress(description="Testing"):
         return _NullProgress(), _NullColumn()
+
+
+# reference-name aliases (lightning_utils.py:58-110): the eval CLI used
+# MyMetricsTextColumn; MyRichProgressBar was a Lightning training-UI
+# subclass with no analog here (training progress is JSON rows)
+if _HAVE_RICH:
+    MyMetricsTextColumn = MetricsTextColumn
+else:  # pragma: no cover
+    MyMetricsTextColumn = _NullColumn
+    BatchesProcessedColumn = _NullColumn

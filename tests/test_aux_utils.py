@@ -37,6 +37,29 @@ def test_progress_ui():
             col.update({"si-snr_i": 1.234})
 
 
+def test_utils_name_parity_with_reference():
+    """Every name in look2hear.utils.__all__ (utils/__init__.py:24-47)
+    resolves from tdanet_tpu.utils, so `from look2hear.utils import X`
+    migrates by module rename alone. MyRichProgressBar is the one
+    deliberate absence (a Lightning training-UI subclass; training
+    progress here is JSON rows — noted in progress.py)."""
+    import tdanet_tpu.utils as u
+
+    ref_all = [
+        "STFT", "pad_x_to_y", "shape_reconstructed", "tensors_to_device",
+        "prepare_parser_from_dict", "parse_args_as_dict", "str_int_float",
+        "str2bool", "str2bool_arg", "isfloat", "isint", "print_only",
+        "RichProgressBarTheme", "BatchesProcessedColumn",
+        "MyMetricsTextColumn", "is_complex", "is_torch_complex_tensor",
+        "new_complex_like", "get_layer", "InversibleInterface",
+        "make_pad_mask",
+    ]
+    missing = [n for n in ref_all if not hasattr(u, n)]
+    assert not missing, missing
+    # theme attributes used like RichProgressBarTheme.metrics
+    assert u.RichProgressBarTheme.metrics.startswith("#")
+
+
 def test_av_dataset_branch(tmp_path):
     from tdanet_tpu.datas import SeparationDataset
     from tdanet_tpu.utils import write_wav
