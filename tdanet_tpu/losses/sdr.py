@@ -129,6 +129,34 @@ def freq_mae_wavl1(ests, targets, *, win=2048, stride=512):
     return freq_l1 + wave_l1
 
 
+# class-style factories for name parity with the reference's nn.Module
+# loss classes (matrix.py:12-150): calling one returns the configured
+# jittable function, so PITLossWrapper(PairwiseNegSDR("sisdr",
+# zero_mean=True)) reads exactly like the reference.
+def PairwiseNegSDR(sdr_type, zero_mean=True, take_log=True, EPS=1e-8):
+    return functools.partial(pairwise_neg_sdr, sdr_type=sdr_type,
+                             zero_mean=zero_mean, take_log=take_log, eps=EPS)
+
+
+def SingleSrcNegSDR(sdr_type, zero_mean=True, take_log=True,
+                    reduction="none", EPS=1e-8):
+    assert reduction != "sum", NotImplementedError  # matrix.py:63 quirk
+    fn = functools.partial(singlesrc_neg_sdr, sdr_type=sdr_type,
+                           zero_mean=zero_mean, take_log=take_log, eps=EPS)
+    if reduction == "mean":
+        return lambda e, t, **kw: jnp.mean(fn(e, t, **kw))
+    return fn
+
+
+def MultiSrcNegSDR(sdr_type, zero_mean=True, take_log=True, EPS=1e-8):
+    return functools.partial(multisrc_neg_sdr, sdr_type=sdr_type,
+                             zero_mean=zero_mean, take_log=take_log, eps=EPS)
+
+
+# instance alias mirroring matrix.py:185
+freq_mae_wavl1loss = freq_mae_wavl1
+
+
 # aliases mirroring matrix.py:176-185
 pairwise_neg_sisdr = functools.partial(pairwise_neg_sdr, sdr_type="sisdr")
 pairwise_neg_sdsdr = functools.partial(pairwise_neg_sdr, sdr_type="sdsdr")

@@ -11,6 +11,7 @@ from tdanet_tpu.models.base import (
 )
 from tdanet_tpu.models import attentions, emcad, swin, transxnet, \
     transxnet2d
+from tdanet_tpu.models.attentions import SEBasicBlock1D, SELayer1D
 from tdanet_tpu.models.swin import SwinTransformer, SwinTransformerSys, \
     SwinTransformerSysCustom
 from tdanet_tpu.models.tdanet_best import TDANetBest
@@ -71,4 +72,6 @@ __all__ = [
     "attentions", "emcad", "swin", "transxnet", "transxnet2d",
     "SwinTransformer", "SwinTransformerSys", "SwinTransformerSysCustom",
     "TransXNet2D",
+    # name-parity with look2hear.models.__all__ (SeBlock.py:26)
+    "SEBasicBlock1D", "SELayer1D",
 ]
