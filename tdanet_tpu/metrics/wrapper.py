@@ -30,8 +30,11 @@ class MetricsTracker:
             self.writer = csv.DictWriter(self.results_csv,
                                          fieldnames=self.COLUMNS)
             self.writer.writeheader()
-        self.pit_sisnr = PITLossWrapper(pairwise_neg_sisdr, pit_from="pw_mtx",
-                                        threshold_byloss=False)
+        # reference default threshold_byloss=True — a no-op at the
+        # per-utterance batch=1 this tracker runs at (the >-30 dB subset
+        # is either the whole singleton batch or empty-with-fallback)
+        self.pit_sisnr = PITLossWrapper(pairwise_neg_sisdr,
+                                        pit_from="pw_mtx")
 
     def __call__(self, mix, clean, estimate, key):
         """mix (T,), clean (n_src, T), estimate (n_src, T)."""
