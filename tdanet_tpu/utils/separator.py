@@ -114,8 +114,11 @@ def separate(model, params, wav, compute_dtype=None, lattice=None,
     fwd = _compiled_forward(model, target, compute_dtype, num_blocks)
     out = fwd(params, x)[..., :T]
     x = x[..., :T]
-    # per-utterance energy renormalization over the true region
-    # (separator.py:63)
+    # per-utterance energy renormalization over the true region.
+    # Deliberate divergence from separator.py:63, which sums |.| over
+    # the WHOLE tensor — coupling utterances at B>1. The reference only
+    # ever calls it at B=1 (where the two are identical); per-utterance
+    # keeps batched results equal to the reference's batch=1 behavior.
     scale = jnp.sum(jnp.abs(x), axis=-1)[:, None, None] / (
         jnp.sum(jnp.abs(out), axis=(-1, -2))[:, None, None] + 1e-8)
     out = out * scale
