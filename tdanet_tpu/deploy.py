@@ -1,0 +1,252 @@
+"""AOT deployment bundles: serialized StableHLO serving programs.
+
+Beyond the reference — which deploys ``best_model.pth`` plus the full
+model codebase and re-traces at import (audio_test.py:80-88) — a bundle
+packs ``jax.export``-serialized forward programs (one per padded-length
+bucket, multi-platform cpu+tpu lowering), the weights, and metadata:
+
+    bundle/
+      meta.json       model name/args, sample rate, lattice, buckets...
+      params.npz      flat torch-named weights (fp32 numpy)
+      programs/T<target>_B<batch>.shlo
+
+A serving host loads and runs it with :func:`load_bundle` WITHOUT the
+model code — no registry, no tracing, no Python model definitions; the
+program is version-pinned StableHLO, so the artifact survives model-code
+refactors and runs in minimal images. The exported program is the SAME
+vmapped per-utterance forward the in-framework engines use (each row
+sees batch=1 semantics — the reference checkpoints' batch-axis MHA quirk
+makes plain batching leak across utterances, see utils/separator.py), so
+bundle outputs are bit-identical to ``utils.separator.separate_batched``.
+
+Weights are runtime ARGUMENTS of the exported program, not baked
+constants: XLA's TPU conv path loses precision (~1e-2) on
+closure-captured conv weights but is ~1e-6-accurate on argument weights
+(measured, docs/PERF.md), and argument weights let one bundle be
+re-weighted (``load_bundle(path, params_npz=...)``) without re-export.
+
+Length routing is LATTICE-EXACT by default: an utterance runs in the
+program whose padded length equals its own stride-lattice round-up, and
+anything else raises. The model's GlobLN statistics run over the padded
+tensor, so padding an utterance further than its lattice round-up
+perturbs the output (weight- and pad-dependent; percent-scale on random
+weights) — exact parity with the reference's batch=1 eval requires
+exact targets. Export
+the segment lengths the deployment actually serves (streaming hops, CSS
+segments, and recipe eval are all fixed-length). ``coarse=True`` opts
+into next-bucket-up routing as a documented approximation. Symbolic-
+shape export (one program, any length) is blocked by design: the
+adaptive-pool/interpolation stages lower to host-built one-hot matmul
+matrices so they ride the MXU (docs/PERF.md round-2 interp rewrite) —
+their shapes must be concrete at trace time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from tdanet_tpu.utils.separator import depth_kw, trim_renorm
+
+_FORMAT_VERSION = 1
+
+
+def _flatten(params) -> Dict[str, np.ndarray]:
+    """Nested param pytree -> flat 'a.b.c' dict. Unlike
+    models.base.flat_torch_to_pytree this round-trips EVERY leaf (no
+    derived-buffer skip list): the exported program's input tree must be
+    reproduced exactly."""
+    flat: Dict[str, np.ndarray] = {}
+
+    def rec(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                rec(v, f"{prefix}.{k}" if prefix else k)
+        else:
+            flat[prefix] = np.asarray(node)
+    rec(params, "")
+    return flat
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for key, val in flat.items():
+        parts = key.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(val)
+    return tree
+
+
+def export_forward(model, params, target_len: int, batch_size: int = 8,
+                   compute_dtype=None, num_blocks=None,
+                   platforms: Sequence[str] = ("cpu", "tpu")):
+    """Export one serving program: (params, wav[batch, target_len]) ->
+    (batch, n_src, target_len), vmapped per-utterance, lowered for every
+    platform in ``platforms``. Returns a ``jax.export.Exported``."""
+    kw = depth_kw(num_blocks)
+    fwd = jax.jit(jax.vmap(
+        lambda p, w: model.apply(p, w[None], compute_dtype=compute_dtype,
+                                 **kw)[0],
+        in_axes=(None, 0)))
+    x_spec = jax.ShapeDtypeStruct((batch_size, target_len), jnp.float32)
+    return jax_export.export(fwd, platforms=tuple(platforms))(params, x_spec)
+
+
+def save_bundle(path: str, model, params, lengths: Sequence[float],
+                batch_size: int = 8, compute_dtype=None, num_blocks=None,
+                platforms: Sequence[str] = ("cpu", "tpu")):
+    """Export a deployment bundle to directory ``path``.
+
+    ``lengths``: utterance lengths in SECONDS; each is padded up to the
+    model's stride lattice and becomes one exported program (duplicates
+    collapse). At serve time an utterance routes to the smallest bucket
+    that fits.
+    """
+    sr = model.sample_rate()
+    lattice = getattr(model, "lcm", 1)
+    targets = sorted({-(-int(round(s * sr)) // lattice) * lattice
+                      for s in lengths})
+    if not targets:
+        raise ValueError("save_bundle needs at least one length")
+    os.makedirs(os.path.join(path, "programs"), exist_ok=True)
+
+    flat = _flatten(params)
+    np.savez(os.path.join(path, "params.npz"),
+             **{k: np.asarray(v) for k, v in flat.items()})
+
+    for target in targets:
+        exp = export_forward(model, params, target, batch_size,
+                             compute_dtype=compute_dtype,
+                             num_blocks=num_blocks, platforms=platforms)
+        fname = os.path.join(path, "programs", f"T{target}_B{batch_size}.shlo")
+        with open(fname, "wb") as f:
+            f.write(bytes(exp.serialize()))
+
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "model_name": type(model).__name__,
+        "model_args": model.get_model_args(),
+        "sample_rate": sr,
+        "lattice": lattice,
+        "batch_size": batch_size,
+        "targets": targets,
+        "compute_dtype": (None if compute_dtype is None
+                          else jnp.dtype(compute_dtype).name),
+        "num_blocks": num_blocks,
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta
+
+
+class DeployedSeparator:
+    """Runs a deployment bundle. Holds NO model code — only deserialized
+    StableHLO programs + the weight pytree; mirrors the
+    ``utils.separator.separate_batched`` trim/renorm semantics
+    (reference: utils/separator.py:63, batch=1 eval audio_test.py:111-134).
+    """
+
+    def __init__(self, meta: Dict[str, Any], params,
+                 programs: Dict[int, "jax_export.Exported"],
+                 coarse: bool = False):
+        self.meta = meta
+        self.params = params
+        self._programs = programs
+        self._fn_cache: Dict[int, Any] = {}
+        self.sample_rate = meta["sample_rate"]
+        self.batch_size = meta["batch_size"]
+        self.lattice = meta["lattice"]
+        self.coarse = coarse
+        self.targets = sorted(programs)
+
+    def _fn(self, target: int):
+        # Exported.call re-traces per invocation; jit it once per bucket
+        # so steady-state serving pays only compiled-dispatch cost.
+        if target not in self._fn_cache:
+            self._fn_cache[target] = jax.jit(self._programs[target].call)
+        return self._fn_cache[target]
+
+    def _bucket(self, T: int) -> int:
+        exact = -(-T // self.lattice) * self.lattice
+        if exact in self._programs:
+            return exact
+        if self.coarse:
+            for target in self.targets:
+                if target >= T:
+                    return target
+            raise ValueError(
+                f"utterance of {T} samples exceeds every exported bucket "
+                f"{self.targets}; re-export the bundle with a longer length")
+        raise ValueError(
+            f"utterance of {T} samples needs the lattice-exact program "
+            f"T={exact} but the bundle exports {self.targets}; re-export "
+            "with this length, or load_bundle(..., coarse=True) to accept "
+            "next-bucket-up padding (approximate: the extra pad shifts "
+            "the GlobLN statistics)")
+
+    def separate(self, wav: np.ndarray) -> np.ndarray:
+        """(T,) -> (n_src, T), trimmed + energy-renormalized."""
+        return self.separate_batched([np.asarray(wav)])[0]
+
+    def separate_batched(self, wavs) -> list:
+        """Variable-length utterances -> per-utterance (n_src, T_i)
+        estimates (input order), bucketed over the exported programs."""
+        buckets: Dict[int, list] = {}
+        for i, w in enumerate(wavs):
+            buckets.setdefault(self._bucket(int(np.asarray(w).shape[-1])),
+                               []).append(i)
+        outputs = [None] * len(wavs)
+        B = self.batch_size
+        for target, idxs in sorted(buckets.items()):
+            fn = self._fn(target)
+            for s in range(0, len(idxs), B):
+                chunk = idxs[s:s + B]
+                batch = np.zeros((B, target), np.float32)
+                for row, i in enumerate(chunk):
+                    w = np.asarray(wavs[i], np.float32)
+                    batch[row, :w.shape[-1]] = w
+                est = np.asarray(fn(self.params, jnp.asarray(batch)))
+                for row, i in enumerate(chunk):
+                    mix = np.asarray(wavs[i], np.float32)
+                    outputs[i] = trim_renorm(mix, est[row])
+        return outputs
+
+
+def load_bundle(path: str, params_npz: str | None = None,
+                coarse: bool = False) -> DeployedSeparator:
+    """Load a bundle saved by :func:`save_bundle`. ``params_npz``
+    optionally swaps in different weights (same tree) without re-export
+    — e.g. a newer checkpoint of the same architecture. ``coarse``
+    allows routing an utterance to the next-larger bucket when its
+    lattice-exact program wasn't exported (approximate — see module
+    docstring)."""
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("format_version", 0) > _FORMAT_VERSION:
+        raise ValueError(
+            f"bundle format {meta['format_version']} is newer than this "
+            f"loader ({_FORMAT_VERSION})")
+    with np.load(params_npz or os.path.join(path, "params.npz")) as z:
+        params = _unflatten({k: z[k] for k in z.files})
+    programs = {}
+    pdir = os.path.join(path, "programs")
+    for fname in sorted(os.listdir(pdir)):
+        if not fname.endswith(".shlo"):
+            continue
+        target = int(fname.split("_")[0][1:])
+        with open(os.path.join(pdir, fname), "rb") as f:
+            programs[target] = jax_export.deserialize(bytearray(f.read()))
+    if not programs:
+        raise ValueError(f"no programs/*.shlo found under {path}")
+    return DeployedSeparator(meta, params, programs, coarse=coarse)

@@ -1,0 +1,157 @@
+"""Deployment bundles: jax.export-serialized serving programs.
+
+The exported artifact must reproduce the in-framework bucketed eval
+exactly (same vmapped batch=1-semantics forward, same trim/renorm —
+reference eval loop: audio_test.py:111-134, renorm separator.py:63) and
+load WITHOUT the model code."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from tdanet_tpu import deploy
+from tdanet_tpu.models import TDANetBest
+from tdanet_tpu.utils.separator import separate_batched
+
+SR = 8000
+
+
+def build():
+    model = TDANetBest(out_channels=32, in_channels=64, num_blocks=1,
+                       upsampling_depth=4, enc_kernel_size=4,
+                       num_sources=2, sample_rate=SR)
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+def make_wavs(rng, lengths_s):
+    return [(rng.standard_normal(int(SR * s)) * 0.1).astype(np.float32)
+            for s in lengths_s]
+
+
+def test_bundle_roundtrip_matches_separator(tmp_path):
+    """Lattice-exact routing: every utterance runs in the program of its
+    own stride-lattice round-up, so outputs equal the in-framework
+    bucketed eval exactly (same pad, same vmapped program)."""
+    model, params = build()
+    rng = np.random.default_rng(1)
+    lengths_s = [0.5, 0.43, 0.9, 0.77, 0.5]
+    wavs = make_wavs(rng, lengths_s)
+
+    meta = deploy.save_bundle(str(tmp_path), model, params,
+                              lengths=lengths_s, batch_size=3)
+    assert meta["model_name"] == "TDANetBest"
+    assert set(os.listdir(tmp_path / "programs")) == {
+        f"T{t}_B3.shlo" for t in meta["targets"]}
+
+    dep = deploy.load_bundle(str(tmp_path))
+    got = dep.separate_batched(wavs)
+    want = separate_batched(model, params, wavs, batch_size=3)
+    for g, w, src in zip(got, want, wavs):
+        assert g.shape == (2, src.shape[-1])
+        np.testing.assert_allclose(g, np.asarray(w), rtol=1e-5, atol=1e-6)
+
+
+def test_bundle_coarse_routing(tmp_path):
+    """Without the exact program: default raises with guidance; coarse
+    mode routes up a bucket and stays a small, renorm-compensated
+    approximation of the exact result."""
+    model, params = build()
+    rng = np.random.default_rng(4)
+    wav = make_wavs(rng, [0.43])[0]
+
+    deploy.save_bundle(str(tmp_path), model, params, lengths=[0.6],
+                       batch_size=2)
+    with pytest.raises(ValueError, match="lattice-exact"):
+        deploy.load_bundle(str(tmp_path)).separate(wav)
+
+    dep = deploy.load_bundle(str(tmp_path), coarse=True)
+    got = dep.separate(wav)
+    assert got.shape == (2, wav.shape[-1])
+    # approximate: padding past the lattice round-up shifts the GlobLN
+    # statistics, so this genuinely differs from the lattice-exact run
+    want = separate_batched(model, params, [wav], batch_size=2)[0]
+    assert np.abs(got - np.asarray(want)).max() > 0
+    # ...but the trim/renorm contract still holds exactly:
+    # sum|est| == sum|mix| by construction (separator.py:63 semantics)
+    np.testing.assert_allclose(np.abs(got).sum(), np.abs(wav).sum(),
+                               rtol=1e-4)
+
+
+def test_bundle_single_reweight_and_errors(tmp_path):
+    model, params = build()
+    rng = np.random.default_rng(2)
+    wav = make_wavs(rng, [0.6])[0]
+
+    deploy.save_bundle(str(tmp_path), model, params, lengths=[0.6],
+                       batch_size=2)
+    dep = deploy.load_bundle(str(tmp_path))
+    out = dep.separate(wav)
+    assert out.shape == (2, wav.shape[-1])
+
+    # utterance longer than every exported bucket -> clear error even
+    # under coarse routing
+    dep_c = deploy.load_bundle(str(tmp_path), coarse=True)
+    with pytest.raises(ValueError, match="exceeds every exported bucket"):
+        dep_c.separate(make_wavs(rng, [1.5])[0])
+
+    # weights are program ARGUMENTS: swapping them changes the output
+    # without re-exporting (and without model code)
+    params2 = model.init(jax.random.PRNGKey(7))
+    np.savez(tmp_path / "params2.npz", **deploy._flatten(params2))
+    dep2 = deploy.load_bundle(str(tmp_path),
+                              params_npz=str(tmp_path / "params2.npz"))
+    out2 = dep2.separate(wav)
+    assert not np.allclose(out, out2)
+    want2 = separate_batched(model, params2, [wav], batch_size=2)[0]
+    np.testing.assert_allclose(out2, np.asarray(want2), rtol=1e-5, atol=1e-6)
+
+
+def test_bundle_flatten_roundtrip():
+    model, params = build()
+    flat = deploy._flatten(params)
+    tree = deploy._unflatten(flat)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    leaves2, treedef2 = jax.tree_util.tree_flatten(tree)
+    assert treedef == treedef2
+    for a, b in zip(leaves, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_bundle_runs_without_model_code(tmp_path):
+    """A fresh interpreter serves the bundle without ever importing
+    tdanet_tpu.models — the deployment claim, checked literally."""
+    model, params = build()
+    rng = np.random.default_rng(3)
+    wav = make_wavs(rng, [0.5])[0]
+    deploy.save_bundle(str(tmp_path), model, params, lengths=[0.5],
+                       batch_size=1)
+    want = separate_batched(model, params, [wav], batch_size=1)[0]
+    np.save(tmp_path / "wav.npy", wav)
+    np.save(tmp_path / "want.npy", np.asarray(want))
+
+    code = f"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from tdanet_tpu import deploy
+dep = deploy.load_bundle({str(tmp_path)!r})
+out = dep.separate(np.load({str(tmp_path / 'wav.npy')!r}))
+assert "tdanet_tpu.models" not in sys.modules, "bundle pulled in model code"
+np.testing.assert_allclose(out, np.load({str(tmp_path / 'want.npy')!r}),
+                           rtol=1e-5, atol=1e-6)
+print("OK")
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "OK" in r.stdout
