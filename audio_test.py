@@ -48,7 +48,20 @@ def main(argv=None):
                    help="shard each eval batch over the first N devices "
                         "(data-parallel scale-out; batch_size must be a "
                         "multiple of N)")
+    p.add_argument("--bundle", default=None,
+                   help="evaluate through an AOT deployment bundle "
+                        "(scripts/export_bundle.py) instead of the model "
+                        "code — proves the shipped artifact's metrics; "
+                        "the bundle must export every test-set length "
+                        "(use --lengths_from_manifest at export)")
     args = p.parse_args(argv)  # reject typo'd flags loudly
+    if args.bundle is not None and (
+            args.num_blocks is not None
+            or args.progressive_depth is not None
+            or (args.dp or 0) > 1):
+        p.error("--bundle serves fixed pre-exported programs; "
+                "--num_blocks/--progressive_depth/--dp do not apply "
+                "(bake depth/dtype at export time)")
     if args.dp is not None and args.dp > 1 and args.batch_size <= 1:
         p.error("--dp requires the batched eval path: set --batch_size "
                 "to a multiple of --dp (batch_size=1 is the reference "
@@ -63,9 +76,20 @@ def main(argv=None):
     ckpt = args.ckpt_path or os.path.join(exp_dir, "best_model.pth")
 
     sr = conf["datamodule"]["data_config"]["sample_rate"]
-    model, params = model_zoo.BaseModel.from_pretrain(
-        conf["audionet"]["audionet_name"], ckpt, sample_rate=sr,
-        **conf["audionet"]["audionet_config"])
+    if args.bundle is not None:
+        # the whole point: no model code, no checkpoint load — the
+        # artifact carries programs + weights (tdanet_tpu/deploy.py)
+        from tdanet_tpu import deploy
+        dep = deploy.load_bundle(args.bundle)
+        if dep.sample_rate != sr:
+            raise SystemExit(
+                f"bundle was exported at {dep.sample_rate} Hz but the "
+                f"config's test set is {sr} Hz")
+        model = params = None
+    else:
+        model, params = model_zoo.BaseModel.from_pretrain(
+            conf["audionet"]["audionet_name"], ckpt, sample_rate=sr,
+            **conf["audionet"]["audionet_config"])
 
     dm = getattr(data_zoo, conf["datamodule"]["data_name"])(
         **{**conf["datamodule"]["data_config"], "segment": None})
@@ -97,7 +121,18 @@ def main(argv=None):
             metrics_col.update(metrics.update())
 
     with progress:
-        if args.progressive_depth is not None:
+        if args.bundle is not None:
+            B = dep.batch_size
+            done = 0
+            for s0 in progress.track(range(0, len(test_set), B)):
+                items = [test_set[i]
+                         for i in range(s0, min(len(test_set), s0 + B))]
+                ests = dep.separate_batched([it[0] for it in items])
+                for item, est in zip(items, ests):
+                    mix, sources, key = item
+                    emit(done, mix, sources, key, est)
+                    done += 1
+        elif args.progressive_depth is not None:
             from tdanet_tpu.progressive import separate_progressive_stream
             lengths = [test_set.mix[i][1] for i in range(len(test_set))]
             pstats = {}

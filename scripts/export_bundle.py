@@ -24,8 +24,14 @@ def main():
     ap.add_argument("--ckpt", required=True,
                     help="reference-format .pth/.bin checkpoint")
     ap.add_argument("--out", required=True, help="bundle output directory")
-    ap.add_argument("--lengths", type=float, nargs="+", required=True,
-                    help="utterance lengths (seconds); one program each")
+    ap.add_argument("--lengths", type=float, nargs="+", default=[],
+                    help="utterance lengths (seconds); one program per "
+                         "lattice-distinct length")
+    ap.add_argument("--lengths_from_manifest", nargs="+", default=[],
+                    help="dataset manifest JSON(s) ([path, n_frames] "
+                         "rows, e.g. tt/mix_clean.json): export every "
+                         "length the split needs, so audio_test.py "
+                         "--bundle covers it lattice-exactly")
     ap.add_argument("--model", default=None,
                     help="registry name (default: the checkpoint's)")
     ap.add_argument("--batch", type=int, default=8)
@@ -34,6 +40,12 @@ def main():
     ap.add_argument("--num_blocks", type=int, default=None,
                     help="early-exit depth override")
     ap.add_argument("--platforms", nargs="+", default=["cpu", "tpu"])
+    ap.add_argument("--streaming_segment", type=float, default=None,
+                    help="also export a live-streaming program at this "
+                         "segment length (seconds); served by "
+                         "deploy.load_streaming")
+    ap.add_argument("--streaming_max_streams", type=int, default=4)
+    ap.add_argument("--streaming_overlap", type=float, default=0.25)
     args = ap.parse_args()
 
     from tdanet_tpu import deploy
@@ -41,14 +53,33 @@ def main():
 
     model, params = BaseModel.from_pretrain(args.model or args.ckpt,
                                             args.ckpt)
+    lengths = list(args.lengths)
+    if args.lengths_from_manifest:
+        import json
+        sr = model.sample_rate()
+        for mpath in args.lengths_from_manifest:
+            with open(mpath) as f:
+                lengths += [n / sr for _path, n in json.load(f)]
+    streaming = None
+    if args.streaming_segment is not None:
+        streaming = dict(segment=args.streaming_segment,
+                         max_streams=args.streaming_max_streams,
+                         overlap=args.streaming_overlap)
+    if not lengths and streaming is None:
+        ap.error("pass --lengths, --lengths_from_manifest and/or "
+                 "--streaming_segment")
     meta = deploy.save_bundle(args.out, model, params,
-                              lengths=args.lengths, batch_size=args.batch,
+                              lengths=lengths, batch_size=args.batch,
                               compute_dtype=args.dtype,
                               num_blocks=args.num_blocks,
-                              platforms=args.platforms)
+                              platforms=args.platforms,
+                              streaming=streaming)
+    extra = (f" + streaming S{meta['streaming']['seg_len']}"
+             f"x{meta['streaming']['max_streams']}"
+             if "streaming" in meta else "")
     print(f"exported {len(meta['targets'])} program(s) "
           f"{meta['targets']} (batch {meta['batch_size']}, "
-          f"platforms {meta['platforms']}) -> {args.out}")
+          f"platforms {meta['platforms']}){extra} -> {args.out}")
 
 
 if __name__ == "__main__":

@@ -101,22 +101,32 @@ def export_forward(model, params, target_len: int, batch_size: int = 8,
     return jax_export.export(fwd, platforms=tuple(platforms))(params, x_spec)
 
 
-def save_bundle(path: str, model, params, lengths: Sequence[float],
+def save_bundle(path: str, model, params, lengths: Sequence[float] = (),
                 batch_size: int = 8, compute_dtype=None, num_blocks=None,
-                platforms: Sequence[str] = ("cpu", "tpu")):
+                platforms: Sequence[str] = ("cpu", "tpu"),
+                streaming: dict | None = None):
     """Export a deployment bundle to directory ``path``.
 
     ``lengths``: utterance lengths in SECONDS; each is padded up to the
     model's stride lattice and becomes one exported program (duplicates
     collapse). At serve time an utterance routes to the smallest bucket
     that fits.
+
+    ``streaming``: optionally also export a live-streaming program —
+    ``dict(segment=sec, max_streams=N, overlap=0.25,
+    emit_dtype="float32")``. The program is exported at EXACTLY
+    ``segment * sr`` samples with ``max_streams`` rows (no lattice
+    round-up: the streaming engines feed exact segment windows and the
+    model pads internally), so :func:`load_streaming` reproduces
+    ``serving.MultiStreamSeparator`` bit-for-bit. overlap/emit_dtype are
+    recorded as serve-time defaults.
     """
     sr = model.sample_rate()
     lattice = getattr(model, "lcm", 1)
     targets = sorted({-(-int(round(s * sr)) // lattice) * lattice
                       for s in lengths})
-    if not targets:
-        raise ValueError("save_bundle needs at least one length")
+    if not targets and streaming is None:
+        raise ValueError("save_bundle needs lengths and/or streaming")
     os.makedirs(os.path.join(path, "programs"), exist_ok=True)
 
     flat = _flatten(params)
@@ -145,6 +155,24 @@ def save_bundle(path: str, model, params, lengths: Sequence[float],
         "platforms": list(platforms),
         "jax_version": jax.__version__,
     }
+    if streaming is not None:
+        seg_len = int(round(float(streaming["segment"]) * sr))
+        n_streams = int(streaming.get("max_streams", 4))
+        exp = export_forward(model, params, seg_len, n_streams,
+                             compute_dtype=compute_dtype,
+                             num_blocks=num_blocks, platforms=platforms)
+        fname = os.path.join(path, "programs",
+                             f"S{seg_len}_B{n_streams}.shlo")
+        with open(fname, "wb") as f:
+            f.write(bytes(exp.serialize()))
+        meta["streaming"] = {
+            "segment": float(streaming["segment"]),
+            "seg_len": seg_len,
+            "max_streams": n_streams,
+            "overlap": float(streaming.get("overlap", 0.25)),
+            "emit_dtype": streaming.get("emit_dtype", "float32"),
+            "n_src": int(exp.out_avals[0].shape[1]),
+        }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f, indent=2)
     return meta
@@ -242,11 +270,48 @@ def load_bundle(path: str, params_npz: str | None = None,
     programs = {}
     pdir = os.path.join(path, "programs")
     for fname in sorted(os.listdir(pdir)):
-        if not fname.endswith(".shlo"):
+        # T*.shlo = batched bucket programs; S*.shlo = streaming
+        # segment programs (exact seg_len, load_streaming's)
+        if not (fname.endswith(".shlo") and fname.startswith("T")):
             continue
         target = int(fname.split("_")[0][1:])
         with open(os.path.join(pdir, fname), "rb") as f:
             programs[target] = jax_export.deserialize(bytearray(f.read()))
     if not programs:
-        raise ValueError(f"no programs/*.shlo found under {path}")
+        raise ValueError(f"no batched programs/T*.shlo found under {path}"
+                         " (a streaming-only bundle serves via"
+                         " load_streaming)")
     return DeployedSeparator(meta, params, programs, coarse=coarse)
+
+
+def load_streaming(path: str, params_npz: str | None = None,
+                   overlap: float | None = None,
+                   emit_dtype: str | None = None, dw_fold=None):
+    """Build a live-streaming engine from a bundle exported with
+    ``streaming=...`` — a ``serving.MultiStreamSeparator`` whose forward
+    is the bundle's deserialized program: same stitching semantics, no
+    model code. ``overlap``/``emit_dtype`` default to the values
+    recorded at export. ``dw_fold`` is ignored (the program is already
+    lowered); accepted so call sites can be swapped 1:1."""
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    sm = meta.get("streaming")
+    if sm is None:
+        raise ValueError(
+            f"bundle at {path} has no streaming program; re-export with "
+            "save_bundle(..., streaming=dict(segment=..., max_streams=...))")
+    with np.load(params_npz or os.path.join(path, "params.npz")) as z:
+        params = _unflatten({k: z[k] for k in z.files})
+    fname = os.path.join(path, "programs",
+                         f"S{sm['seg_len']}_B{sm['max_streams']}.shlo")
+    with open(fname, "rb") as f:
+        exp = jax_export.deserialize(bytearray(f.read()))
+    from tdanet_tpu.serving import MultiStreamSeparator
+    return MultiStreamSeparator(
+        model=None, params=params,
+        max_streams=sm["max_streams"], segment=sm["segment"],
+        overlap=overlap if overlap is not None else sm["overlap"],
+        sample_rate=meta["sample_rate"],
+        emit_dtype=emit_dtype if emit_dtype is not None
+        else sm["emit_dtype"],
+        forward_fn=exp.call, n_src=sm["n_src"])

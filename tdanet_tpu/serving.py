@@ -157,13 +157,23 @@ class StreamingSeparator:
 
     def __init__(self, model, params, segment=4.0, overlap=0.25,
                  sample_rate=8000, compute_dtype=None, dw_fold=True,
-                 num_blocks=None):
+                 num_blocks=None, forward_fn=None, n_src=None):
         self.model, self.params = model, params
         self.sr = sample_rate
         self.seg_len = int(segment * sample_rate)
         self.overlap_len = int(self.seg_len * overlap)
         self.hop = self.seg_len - self.overlap_len
-        self.n_src = getattr(model, "num_sources", 2)
+        self.n_src = n_src if n_src is not None else \
+            getattr(model, "num_sources", 2)
+        if forward_fn is not None:
+            # pre-built jittable (params, (1, seg_len)) -> (1, n_src, T)
+            # forward — e.g. a deployment bundle's exported program
+            # (deploy.load_streaming); dw_fold/num_blocks were baked in
+            # (or not) when it was built
+            self._fwd = jax.jit(forward_fn)
+            self._fwd(params, jnp.zeros((1, self.seg_len), jnp.float32))
+            self.reset()
+            return
         # num_blocks: early-exit depth override (latency/quality knob on
         # the shared-weight recurrence; docs/PERF.md early-exit study)
         kw = depth_kw(num_blocks)
@@ -237,20 +247,32 @@ class MultiStreamSeparator:
 
     def __init__(self, model, params, max_streams=4, segment=4.0,
                  overlap=0.25, sample_rate=8000, compute_dtype=None,
-                 emit_dtype="float32", dw_fold=True, num_blocks=None):
+                 emit_dtype="float32", dw_fold=True, num_blocks=None,
+                 forward_fn=None, n_src=None):
         self.model, self.params = model, params
         self.max_streams = max_streams
         self.seg_len = int(segment * sample_rate)
         self.overlap_len = int(self.seg_len * overlap)
-        self.n_src = getattr(model, "num_sources", 2)
+        self.n_src = n_src if n_src is not None else \
+            getattr(model, "num_sources", 2)
         self.emit_dtype = emit_dtype
-        kw = depth_kw(num_blocks)
-        single = lambda p, w: model.apply(p, w[None],
-                                          compute_dtype=compute_dtype,
-                                          **kw)[0]
+        if forward_fn is not None:
+            # pre-built jittable (params, (max_streams, seg_len)) ->
+            # (max_streams, n_src, T) vmapped forward (e.g. a deployment
+            # bundle's exported program, deploy.load_streaming); only
+            # the emission conversion is traced on top
+            single = None
+        else:
+            kw = depth_kw(num_blocks)
+            single = lambda p, w: model.apply(p, w[None],
+                                              compute_dtype=compute_dtype,
+                                              **kw)[0]
 
         def fwd(p, x):
-            est = jax.vmap(single, in_axes=(None, 0))(p, x)
+            if forward_fn is not None:
+                est = forward_fn(p, x)
+            else:
+                est = jax.vmap(single, in_axes=(None, 0))(p, x)
             if emit_dtype == "int16":
                 # device-side 16-bit PCM: the f32 readback is ~20 ms of
                 # the per-hop latency through the ~30 ms RPC tunnel;

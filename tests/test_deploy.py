@@ -124,6 +124,56 @@ def test_bundle_flatten_roundtrip():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_streaming_from_bundle(tmp_path):
+    """A bundle exported with streaming=... serves live streams through
+    serving.MultiStreamSeparator's exact stitching semantics, forward
+    from the deserialized program — outputs equal the model-code
+    engine."""
+    model, params = build()
+    meta = deploy.save_bundle(
+        str(tmp_path), model, params,
+        streaming=dict(segment=1.0, max_streams=2, overlap=0.25))
+    assert meta["streaming"]["seg_len"] == SR
+    assert meta["streaming"]["n_src"] == 2
+    # streaming-only bundle: the batched loader must point at
+    # load_streaming instead of returning something broken
+    with pytest.raises(ValueError, match="streaming-only"):
+        deploy.load_bundle(str(tmp_path))
+
+    from tdanet_tpu.serving import MultiStreamSeparator
+    engines = {
+        "bundle": deploy.load_streaming(str(tmp_path)),
+        "direct": MultiStreamSeparator(model, params, max_streams=2,
+                                       segment=1.0, overlap=0.25,
+                                       sample_rate=SR, dw_fold=False),
+    }
+    rng = np.random.default_rng(5)
+    wavs = {sid: (rng.standard_normal(int(SR * 2.6)) * 0.1
+                  ).astype(np.float32) for sid in ("a", "b")}
+    outs = {}
+    for name, eng in engines.items():
+        parts = {sid: [] for sid in wavs}
+        for sid, w in wavs.items():
+            eng.open(sid)
+            eng.push(sid, w)
+        while True:
+            got = eng.step()
+            if not got:
+                break
+            for sid, est in got.items():
+                parts[sid].append(est)
+        for sid in wavs:
+            parts[sid].append(eng.flush(sid))
+        outs[name] = {sid: np.concatenate(parts[sid], axis=1)
+                      for sid in wavs}
+    for sid in wavs:
+        assert outs["bundle"][sid].shape == outs["direct"][sid].shape
+        assert outs["bundle"][sid].shape[0] == 2
+        np.testing.assert_allclose(outs["bundle"][sid],
+                                   outs["direct"][sid],
+                                   rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_bundle_runs_without_model_code(tmp_path):
     """A fresh interpreter serves the bundle without ever importing

@@ -153,6 +153,49 @@ def test_eval_metrics_on_trained(debug_config, tmp_path):
     assert np.isfinite(res["si-snr_i"])
 
 
+def test_eval_cli_through_bundle(debug_config, tmp_path, monkeypatch):
+    """audio_test.py --bundle: the AOT artifact (no model code, no
+    checkpoint load) reproduces the model-code eval metrics."""
+    import yaml
+
+    import audio_test
+    from tdanet_tpu import deploy
+    from tdanet_tpu.models import BaseModel
+
+    src_exp = debug_config["main_args"]["exp_dir"]
+    ckpt = os.path.join(src_exp, "best_model.pth")
+    model, params = BaseModel.from_pretrain(ckpt)
+    dc = debug_config["datamodule"]["data_config"]
+    with open(os.path.join(dc["test_dir"], "mix_clean.json")) as f:
+        rows = json.load(f)
+    sr = model.sample_rate()
+    bundle = tmp_path / "bundle"
+    deploy.save_bundle(str(bundle), model, params,
+                       lengths=[n / sr for _p, n in rows], batch_size=2)
+
+    # the CLI resolves Experiments/checkpoint/<exp_name> under cwd
+    conf = json.loads(json.dumps(debug_config))
+    conf["exp"] = {"exp_name": "bundle_eval"}
+    cli_exp = tmp_path / "Experiments" / "checkpoint" / "bundle_eval"
+    os.makedirs(cli_exp)
+    with open(cli_exp / "conf.yml", "w") as f:
+        yaml.safe_dump(conf, f)
+    monkeypatch.chdir(tmp_path)
+
+    got = audio_test.main(["--conf_dir", str(cli_exp / "conf.yml"),
+                           "--bundle", str(bundle)])
+    want = audio_test.main(["--conf_dir", str(cli_exp / "conf.yml"),
+                            "--ckpt_path", ckpt, "--batch_size", "2"])
+    for k in ("si-snr_i", "sdr_i"):
+        assert np.isfinite(got[k])
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-4, atol=1e-4)
+
+    # depth/dp knobs are baked at export time, not eval time
+    with pytest.raises(SystemExit):
+        audio_test.main(["--conf_dir", str(cli_exp / "conf.yml"),
+                         "--bundle", str(bundle), "--num_blocks", "1"])
+
+
 def test_css_stitching(debug_config, tmp_path):
     from tdanet_tpu.models import BaseModel
     from tdanet_tpu.datas import LibriCSSDataset
