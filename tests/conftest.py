@@ -35,6 +35,7 @@ SLOW_MODULES = {
     "test_driver_contract.py",
     "test_resilience.py",
     "test_tdanet_best_fidelity.py",
+    "test_config_fuzz_fidelity.py",
     "test_variants_fidelity.py",
     "test_emcad_models_fidelity.py",
     "test_grad_fidelity.py",
