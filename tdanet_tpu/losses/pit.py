@@ -37,6 +37,28 @@ def find_best_perm_factorial(pair_wise_losses):
     return min_loss, batch_indices
 
 
+def _ambient_replicated_sharding():
+    """NamedSharding(P()) for the mesh active at trace time, or None.
+
+    ``jax.pure_callback`` is partitioned as ``{maximal device=0}`` under
+    GSPMD; handing it a dp-sharded operand makes the partitioner emit
+    'Involuntary full rematerialization' warnings for the implicit
+    sharded->maximal / maximal->sharded hops. Staging the operand and
+    result through an EXPLICIT replicated layout splits each hop into
+    all-gather -> trivial pick / broadcast -> local slice, which the
+    partitioner handles silently. The (B, n, n) cost matrix is tiny, so
+    replication costs nothing."""
+    try:
+        from jax._src.mesh import thread_resources
+        mesh = thread_resources.env.physical_mesh
+        if mesh.empty:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec
+        return NamedSharding(mesh, PartitionSpec())
+    except Exception:
+        return None
+
+
 def find_best_perm_hungarian(pair_wise_losses):
     """Hungarian fallback for n_src > 3 via host callback; the returned
     min_loss is re-gathered on device so gradients flow."""
@@ -49,12 +71,18 @@ def find_best_perm_hungarian(pair_wise_losses):
         out = np.stack([linear_sum_assignment(m)[1] for m in mat])
         return out.astype(np.int32)
 
+    cb_in = jax.lax.stop_gradient(pwl)
+    rep = _ambient_replicated_sharding()
+    if rep is not None:
+        cb_in = jax.lax.with_sharding_constraint(cb_in, rep)
     batch_indices = jax.pure_callback(
         host_assign,
         jax.ShapeDtypeStruct((B, n), jnp.int32),
-        jax.lax.stop_gradient(pwl),
+        cb_in,
         vmap_method="sequential",
     )
+    if rep is not None:
+        batch_indices = jax.lax.with_sharding_constraint(batch_indices, rep)
     min_loss = jnp.take_along_axis(pwl, batch_indices[..., None],
                                    axis=2).mean((-1, -2))
     return min_loss, batch_indices
