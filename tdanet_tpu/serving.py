@@ -432,15 +432,29 @@ class AsyncBatchServer:
     (max_wait only ever delays dispatch on an idle device).
 
     vmap preserves the reference's per-utterance batch=1 MHA semantics;
-    batches are padded to ``max_batch`` rows so each bucket compiles
-    exactly once. Reference capability being replaced: the batch=1 eval
-    loop (audio_test.py:111-134).
+    batches are padded to a fixed row count so each bucket compiles
+    exactly once per batch size. Reference capability being replaced:
+    the batch=1 eval loop (audio_test.py:111-134).
+
+    ADAPTIVE batch sizing (``adaptive=True``): the dispatch size walks a
+    ladder ``min_batch, 2*min_batch, ..., max_batch``. Under sustained
+    overload (full coalesces with a standing queue) the server grows one
+    rung at a time toward ``max_batch`` — the measured B=24
+    compute+readback operating point is ~1.7x the B=8 saturation
+    (docs/SERVING.md) — and shrinks back when traffic thins so a lone
+    request never pays big-batch padded latency. Bigger-rung programs
+    are compiled on a BACKGROUND thread and only become eligible once
+    ready, so growth never stalls the live pipeline behind a multi-
+    minute TPU compile; until then dispatches keep running at the
+    largest ready rung.
     """
 
     def __init__(self, model, params, max_batch=8, max_wait_ms=5.0,
                  compute_dtype=None, dw_fold=None, pipeline_depth=2,
-                 num_blocks=None, mesh=None):
+                 num_blocks=None, mesh=None, adaptive=False,
+                 min_batch=None):
         import queue as _queue
+        import threading
         self.model, self.params = model, params
         self.max_batch = max_batch
         # dp scale-out: shard the padded batch axis over the mesh's 'dp'
@@ -456,14 +470,40 @@ class AsyncBatchServer:
         self.compute_dtype = compute_dtype
         self.num_blocks = num_blocks
         self.lattice = getattr(model, "lcm", 1)
-        # default the fold fast path on for latency-sized batches
-        self.dw_fold = dw_fold if dw_fold is not None else max_batch <= 8
-        self._fwd_cache: Dict[int, object] = {}
+        # None = auto per batch size (fold wins at latency-sized B<=8)
+        self._dw_fold_user = dw_fold
+        if adaptive:
+            lo = min_batch if min_batch is not None else min(8, max_batch)
+            if mesh is not None:
+                dp = mesh.shape["dp"]
+                if lo % dp:
+                    raise ValueError(
+                        f"min_batch ({lo}) must be a multiple of the "
+                        f"mesh dp axis ({dp}) for sharded serving")
+            ladder, b = [], lo
+            while b < max_batch:
+                ladder.append(b)
+                b *= 2
+            ladder.append(max_batch)
+            self._ladder = sorted(set(ladder))
+        else:
+            self._ladder = [max_batch]
+        self._rung = 0          # index of the current target rung
+        self._pressure = 0      # consecutive full-coalesce-with-backlog
+        self._idle = 0          # consecutive under-filled coalesces
+        # observability for tests + the saturation bench: how big did
+        # dispatches actually get, and how high did the rung climb
+        self.stats = {"dispatches": 0, "rows": 0, "max_B": 0,
+                      "rung_highwater": 0}
+        self._targets: Dict[int, None] = {}  # active bucket lengths (LRU-ish)
+        self._fwd_cache: Dict[tuple, object] = {}   # (target, B) -> fn
+        self._cache_lock = threading.Lock()
+        self._compile_sched: set = set()     # (target, B) queued/building
+        self._compile_q: "_queue.Queue" = _queue.Queue()
         self._q: "_queue.Queue" = _queue.Queue()
         self._inflight: "_queue.Queue" = _queue.Queue(
             maxsize=max(1, pipeline_depth))
         self._alive = True
-        import threading
         # serializes submit's alive-check+enqueue against close's
         # alive-flip: without it a submit racing close can enqueue after
         # both drains ran, leaving a future that never resolves
@@ -471,6 +511,11 @@ class AsyncBatchServer:
         self._resolver = threading.Thread(target=self._resolve_loop,
                                           daemon=True)
         self._resolver.start()
+        self._compiler = None
+        if len(self._ladder) > 1:
+            self._compiler = threading.Thread(target=self._compile_loop,
+                                              daemon=True)
+            self._compiler.start()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -502,6 +547,9 @@ class AsyncBatchServer:
             self._q.put(None)
         self._worker.join(timeout=10)
         self._resolver.join(timeout=10)
+        if self._compiler is not None:
+            self._compile_q.put(None)
+            self._compiler.join(timeout=10)
         self._drain_queue(RuntimeError("AsyncBatchServer closed"))
 
     def _drain_queue(self, exc):
@@ -516,18 +564,61 @@ class AsyncBatchServer:
 
     # -- dispatch thread ---------------------------------------------------
 
-    def _get_fwd(self, target: int):
-        if target not in self._fwd_cache:
-            kw = depth_kw(self.num_blocks)
-            single = lambda p, w: self.model.apply(
-                p, w[None], compute_dtype=self.compute_dtype, **kw)[0]
-            fwd = jax.jit(lambda p, x: jax.vmap(
-                single, in_axes=(None, 0))(p, x))
-            with ops.dw_s2_fold() if self.dw_fold else _nullcontext():
-                fwd(self.params, self._place(
-                    np.zeros((self.max_batch, target), np.float32)))
-            self._fwd_cache[target] = fwd
-        return self._fwd_cache[target]
+    def _build_fwd(self, target: int, B: int):
+        kw = depth_kw(self.num_blocks)
+        single = lambda p, w: self.model.apply(
+            p, w[None], compute_dtype=self.compute_dtype, **kw)[0]
+        fwd = jax.jit(lambda p, x: jax.vmap(
+            single, in_axes=(None, 0))(p, x))
+        fold = self._dw_fold_user if self._dw_fold_user is not None \
+            else B <= 8
+        with ops.dw_s2_fold() if fold else _nullcontext():
+            fwd(self.params, self._place(
+                np.zeros((B, target), np.float32)))
+        return fwd
+
+    def _get_fwd(self, target: int, B: int):
+        """Blocking build (dispatch thread): rung-0 / non-adaptive path."""
+        key = (target, B)
+        with self._cache_lock:
+            fn = self._fwd_cache.get(key)
+        if fn is None:
+            fn = self._build_fwd(target, B)
+            with self._cache_lock:
+                self._fwd_cache[key] = fn
+        return fn
+
+    def _ready_fwd(self, target: int, B: int):
+        with self._cache_lock:
+            return self._fwd_cache.get((target, B))
+
+    def _schedule_compile(self, target: int, B: int) -> None:
+        with self._cache_lock:
+            key = (target, B)
+            if key in self._fwd_cache or key in self._compile_sched:
+                return
+            self._compile_sched.add(key)
+        self._compile_q.put(key)
+
+    def _compile_loop(self):
+        """Background compiler: bigger-rung programs become eligible
+        without ever blocking the live dispatch pipeline."""
+        while True:
+            key = self._compile_q.get()
+            if key is None:
+                return
+            target, B = key
+            try:
+                fn = self._build_fwd(target, B)
+                with self._cache_lock:
+                    self._fwd_cache[key] = fn
+            except Exception:
+                # an unbuildable rung is simply never grown into; the
+                # live rung keeps serving
+                pass
+            finally:
+                with self._cache_lock:
+                    self._compile_sched.discard(key)
 
     def _place(self, x):
         """Host batch -> device(s): dp-sharded when serving on a mesh."""
@@ -536,17 +627,19 @@ class AsyncBatchServer:
         return jnp.asarray(x)
 
     def _coalesce(self, first):
-        """Continuous-batching policy: fill up to ``max_batch``, waiting
-        at most ``max_wait`` on an idle device — but while the in-flight
-        pipe is FULL, waiting costs nothing (a slot must open before
-        this batch could run anyway), so keep coalescing past the
-        deadline. This is what keeps batches full under load instead of
-        shipping partial batches into a standing queue."""
+        """Continuous-batching policy: fill up to the current rung's
+        batch size, waiting at most ``max_wait`` on an idle device — but
+        while the in-flight pipe is FULL, waiting costs nothing (a slot
+        must open before this batch could run anyway), so keep
+        coalescing past the deadline. This is what keeps batches full
+        under load instead of shipping partial batches into a standing
+        queue."""
         import queue as _queue
         import time as _time
+        cap = self._ladder[self._rung]
         batch = [first]
         deadline = _time.monotonic() + self.max_wait
-        while self._alive and len(batch) < self.max_batch:
+        while self._alive and len(batch) < cap:
             now = _time.monotonic()
             past = now >= deadline
             if past and not self._inflight.full():
@@ -576,11 +669,67 @@ class AsyncBatchServer:
                 continue
             if item is None:
                 break
-            self._dispatch(self._coalesce(item))
+            batch = self._coalesce(item)
+            self._adapt(len(batch))
+            self._dispatch(batch)
         # tell the resolver to finish what's in flight, then exit
         self._inflight.put(None)
         # nothing queued behind the sentinel may hang
         self._drain_queue(RuntimeError("AsyncBatchServer worker exited"))
+
+    def _note_target(self, target: int) -> None:
+        """Track hot bucket lengths (small LRU) so a rung-grow can warm
+        the bigger program for every length currently in play."""
+        self._targets.pop(target, None)
+        self._targets[target] = None
+        while len(self._targets) > 16:
+            self._targets.pop(next(iter(self._targets)))
+
+    def _adapt(self, n: int) -> None:
+        """Walk the batch-size ladder: sustained full coalesces WITH a
+        standing queue grow the rung (after warming the bigger program
+        in the background); sustained under-filled coalesces shrink it
+        so a lone request never pays big-batch padded latency."""
+        if len(self._ladder) == 1:
+            return
+        cap = self._ladder[self._rung]
+        if n >= cap and not self._q.empty():
+            self._pressure += 1
+            self._idle = 0
+            if self._pressure >= 2 and self._rung < len(self._ladder) - 1:
+                self._rung += 1
+                self._pressure = 0
+                self.stats["rung_highwater"] = max(
+                    self.stats["rung_highwater"], self._rung)
+                for t in list(self._targets):
+                    self._schedule_compile(t, self._ladder[self._rung])
+        elif n < cap:
+            self._idle += 1
+            self._pressure = 0
+            if self._idle >= 4 and self._rung > 0:
+                self._rung -= 1
+                self._idle = 0
+        else:
+            self._pressure = 0
+            self._idle = 0
+
+    def _pick_fwd(self, target: int):
+        """(B, fwd, err): the largest READY rung <= the current target
+        rung; schedules a background compile for the target rung when
+        it isn't ready yet. Rung 0 builds synchronously — it is the
+        always-available baseline (and the only path when adaptive=False)."""
+        for i in range(self._rung, 0, -1):
+            B = self._ladder[i]
+            fn = self._ready_fwd(target, B)
+            if fn is not None:
+                return B, fn, None
+            if i == self._rung:
+                self._schedule_compile(target, B)
+        try:
+            return self._ladder[0], self._get_fwd(target, self._ladder[0]), \
+                None
+        except Exception as e:  # compile failure: caller fails the bucket
+            return 0, None, e
 
     def _dispatch(self, batch):
         """Bucket + launch device work WITHOUT materializing results;
@@ -591,19 +740,22 @@ class AsyncBatchServer:
             t = -(-wav.shape[-1] // self.lattice) * self.lattice
             buckets.setdefault(t, []).append((wav, fut))
         for target, reqs in buckets.items():
-            try:
-                fwd = self._get_fwd(target)
-            except Exception as e:  # compile failure: fail this bucket
+            self._note_target(target)
+            B, fwd, err = self._pick_fwd(target)
+            if fwd is None:
                 for _, fut in reqs:
-                    _resolve(fut, exc=e)
+                    _resolve(fut, exc=err)
                 continue
-            for s in range(0, len(reqs), self.max_batch):
-                group = reqs[s:s + self.max_batch]
+            for s in range(0, len(reqs), B):
+                group = reqs[s:s + B]
+                self.stats["dispatches"] += 1
+                self.stats["rows"] += len(group)
+                self.stats["max_B"] = max(self.stats["max_B"], B)
                 try:
                     # assembly inside the try: any surprise here must
                     # resolve the group's futures, never kill the
                     # dispatch thread (which would hang every client)
-                    x = np.zeros((self.max_batch, target), np.float32)
+                    x = np.zeros((B, target), np.float32)
                     for row, (wav, _) in enumerate(group):
                         x[row, :wav.shape[-1]] = wav
                     est_dev = fwd(self.params, self._place(x))  # async

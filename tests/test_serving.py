@@ -317,3 +317,72 @@ def test_mesh_sharded_serving_matches_single_device():
     import pytest
     with pytest.raises(ValueError):
         AsyncBatchServer(model, params, max_batch=6, mesh=mesh)
+
+
+def test_async_batch_server_adaptive_grows_under_overload():
+    """Adaptive batch sizing: under a standing queue the dispatch size
+    must climb the ladder toward max_batch (VERDICT r3 #2 — the B=8
+    saturation point left ~1.7x on the table vs B=24), results must be
+    identical to the synchronous bucketed path, and the rung must fall
+    back down when traffic thins."""
+    from tdanet_tpu.serving import AsyncBatchServer
+    from tdanet_tpu.utils.separator import separate_batched
+
+    model, params = build()
+    rng = np.random.default_rng(3)
+    wavs = [(rng.standard_normal(SR) * 0.1).astype(np.float32)
+            for _ in range(40)]
+    want = separate_batched(model, params, wavs, batch_size=8)
+
+    server = AsyncBatchServer(model, params, max_batch=8, max_wait_ms=2,
+                              adaptive=True, min_batch=2)
+    assert server._ladder == [2, 4, 8]
+    try:
+        futs = [server.submit(w) for w in wavs]  # storm: queue stands
+        got = [f.result(timeout=300) for f in futs]
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-5)
+        # 40 queued requests against a rung-0 cap of 2 guarantee >=2
+        # consecutive full coalesces with backlog -> the rung grew
+        assert server.stats["rung_highwater"] >= 1, server.stats
+        assert server.stats["rows"] == 40
+
+        # thin traffic: one lone request per coalesce shrinks the rung
+        # back to 0 (never pays big-batch padded latency when idle)
+        import time
+        for _ in range(12):
+            server.separate(wavs[0], timeout=300)
+            time.sleep(0.01)
+        assert server._rung == 0, (server._rung, server.stats)
+    finally:
+        server.close()
+
+
+def test_async_batch_server_adaptive_mesh_validates_min_batch():
+    """Adaptive + dp mesh: every ladder rung must shard evenly, so
+    min_batch must be a multiple of dp; a valid ladder serves correctly."""
+    import pytest
+
+    from tdanet_tpu.parallel.mesh import make_mesh
+    from tdanet_tpu.serving import AsyncBatchServer
+    from tdanet_tpu.utils.separator import separate_batched
+
+    model, params = build()
+    mesh = make_mesh(dp=4, tp=1, devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="min_batch"):
+        AsyncBatchServer(model, params, max_batch=8, mesh=mesh,
+                         adaptive=True, min_batch=2)
+
+    rng = np.random.default_rng(5)
+    wavs = [(rng.standard_normal(SR) * 0.1).astype(np.float32)
+            for _ in range(16)]
+    want = separate_batched(model, params, wavs, batch_size=8)
+    server = AsyncBatchServer(model, params, max_batch=8, max_wait_ms=2,
+                              mesh=mesh, adaptive=True, min_batch=4)
+    try:
+        futs = [server.submit(w) for w in wavs]
+        for f, w in zip(futs, want):
+            np.testing.assert_allclose(f.result(timeout=300), w,
+                                       rtol=1e-4, atol=1e-5)
+    finally:
+        server.close()
