@@ -46,6 +46,14 @@ def main():
                          "deploy.load_streaming")
     ap.add_argument("--streaming_max_streams", type=int, default=4)
     ap.add_argument("--streaming_overlap", type=float, default=0.25)
+    ap.add_argument("--early_exit", type=int, nargs="+", default=[],
+                    help="also export each bucket at these depths; "
+                         "served by deploy.load_bundle(num_blocks=d)")
+    ap.add_argument("--progressive_depth", type=int, default=None,
+                    help="also export the adaptive-depth stage pair "
+                         "(stage 1 at this depth); served by "
+                         "deploy.load_progressive")
+    ap.add_argument("--progressive_threshold", type=float, default=0.05)
     args = ap.parse_args()
 
     from tdanet_tpu import deploy
@@ -68,15 +76,26 @@ def main():
     if not lengths and streaming is None:
         ap.error("pass --lengths, --lengths_from_manifest and/or "
                  "--streaming_segment")
+    progressive = None
+    if args.progressive_depth is not None:
+        progressive = dict(depth1=args.progressive_depth,
+                           threshold=args.progressive_threshold)
     meta = deploy.save_bundle(args.out, model, params,
                               lengths=lengths, batch_size=args.batch,
                               compute_dtype=args.dtype,
                               num_blocks=args.num_blocks,
                               platforms=args.platforms,
-                              streaming=streaming)
+                              streaming=streaming,
+                              early_exit=args.early_exit,
+                              progressive=progressive)
     extra = (f" + streaming S{meta['streaming']['seg_len']}"
              f"x{meta['streaming']['max_streams']}"
              if "streaming" in meta else "")
+    if "early_exit" in meta:
+        extra += f" + early-exit depths {meta['early_exit']}"
+    if "progressive" in meta:
+        extra += (f" + progressive d1={meta['progressive']['depth1']}"
+                  f"/{meta['progressive']['depth_full']}")
     print(f"exported {len(meta['targets'])} program(s) "
           f"{meta['targets']} (batch {meta['batch_size']}, "
           f"platforms {meta['platforms']}){extra} -> {args.out}")

@@ -101,10 +101,44 @@ def export_forward(model, params, target_len: int, batch_size: int = 8,
     return jax_export.export(fwd, platforms=tuple(platforms))(params, x_spec)
 
 
+def export_progressive(model, params, target_len: int, batch_size: int,
+                       depth1: int, depth_full=None, compute_dtype=None,
+                       platforms: Sequence[str] = ("cpu", "tpu")):
+    """Export the progressive (adaptive-depth) stage pair for one padded
+    length: stage 1 ``(params, wav[batch, T]) -> (est, state-tree)`` at
+    ``depth1`` and stage 2 ``(params, state) -> est`` continuing to
+    ``depth_full`` — the same compiled programs
+    ``tdanet_tpu.progressive`` builds, as serializable StableHLO. The
+    stage-2 input spec is derived from stage 1's output avals, so the
+    pair always agrees on the state tree."""
+    from tdanet_tpu.progressive import _compiled_stages
+    if not hasattr(model, "apply_stage1"):
+        raise TypeError(
+            f"progressive export needs a model with the staged apply "
+            f"surface (apply_stage1/apply_stage2/pad_rest); "
+            f"{type(model).__name__} has none")
+    depth_full = depth_full if depth_full is not None else model.num_blocks
+    if depth_full <= depth1:
+        raise ValueError(f"depth_full ({depth_full}) must exceed "
+                         f"depth1 ({depth1})")
+    rest = model.pad_rest(target_len)
+    stage1, stage2 = _compiled_stages(model, depth1, depth_full - depth1,
+                                      rest, compute_dtype)
+    x_spec = jax.ShapeDtypeStruct((batch_size, target_len), jnp.float32)
+    e1 = jax_export.export(stage1, platforms=tuple(platforms))(params,
+                                                               x_spec)
+    st_spec = jax.eval_shape(stage1, params, x_spec)[1]
+    e2 = jax_export.export(stage2, platforms=tuple(platforms))(params,
+                                                               st_spec)
+    return e1, e2
+
+
 def save_bundle(path: str, model, params, lengths: Sequence[float] = (),
                 batch_size: int = 8, compute_dtype=None, num_blocks=None,
                 platforms: Sequence[str] = ("cpu", "tpu"),
-                streaming: dict | None = None):
+                streaming: dict | None = None,
+                early_exit: Sequence[int] = (),
+                progressive: dict | None = None):
     """Export a deployment bundle to directory ``path``.
 
     ``lengths``: utterance lengths in SECONDS; each is padded up to the
@@ -120,6 +154,18 @@ def save_bundle(path: str, model, params, lengths: Sequence[float] = (),
     model pads internally), so :func:`load_streaming` reproduces
     ``serving.MultiStreamSeparator`` bit-for-bit. overlap/emit_dtype are
     recorded as serve-time defaults.
+
+    ``early_exit``: additional DEPTHS to export each length bucket at
+    (the latency/quality knob measured in docs/PERF.md: depth 12 =
+    −0.26 dB for +30% throughput on the flagship) — one extra program
+    per (depth, bucket), file ``E<depth>_T<target>_B<batch>.shlo``;
+    ``load_bundle(path, num_blocks=d)`` serves it.
+
+    ``progressive``: export the adaptive-depth stage pair per bucket —
+    ``dict(depth1=8, depth_full=None, threshold=0.05)`` — files
+    ``P<target>_B<batch>_s1.shlo`` / ``_s2.shlo``; serve with
+    :func:`load_progressive`, which runs the SAME host orchestration as
+    ``tdanet_tpu.progressive`` (outputs bit-identical, no model code).
     """
     sr = model.sample_rate()
     lattice = getattr(model, "lcm", 1)
@@ -133,6 +179,14 @@ def save_bundle(path: str, model, params, lengths: Sequence[float] = (),
     np.savez(os.path.join(path, "params.npz"),
              **{k: np.asarray(v) for k, v in flat.items()})
 
+    full_depth = getattr(model, "num_blocks", None)
+    for d in early_exit:
+        if full_depth is not None and not 0 < d < full_depth:
+            raise ValueError(f"early_exit depth {d} must lie in "
+                             f"(0, {full_depth}) for this model")
+    if progressive is not None and not targets:
+        raise ValueError("progressive export needs lengths")
+
     for target in targets:
         exp = export_forward(model, params, target, batch_size,
                              compute_dtype=compute_dtype,
@@ -140,6 +194,26 @@ def save_bundle(path: str, model, params, lengths: Sequence[float] = (),
         fname = os.path.join(path, "programs", f"T{target}_B{batch_size}.shlo")
         with open(fname, "wb") as f:
             f.write(bytes(exp.serialize()))
+        for d in early_exit:
+            exp_d = export_forward(model, params, target, batch_size,
+                                   compute_dtype=compute_dtype,
+                                   num_blocks=d, platforms=platforms)
+            fname = os.path.join(path, "programs",
+                                 f"E{d}_T{target}_B{batch_size}.shlo")
+            with open(fname, "wb") as f:
+                f.write(bytes(exp_d.serialize()))
+        if progressive is not None:
+            e1, e2 = export_progressive(
+                model, params, target, batch_size,
+                depth1=int(progressive["depth1"]),
+                depth_full=progressive.get("depth_full"),
+                compute_dtype=compute_dtype, platforms=platforms)
+            for tag, exp_p in (("s1", e1), ("s2", e2)):
+                fname = os.path.join(
+                    path, "programs",
+                    f"P{target}_B{batch_size}_{tag}.shlo")
+                with open(fname, "wb") as f:
+                    f.write(bytes(exp_p.serialize()))
 
     meta = {
         "format_version": _FORMAT_VERSION,
@@ -155,6 +229,15 @@ def save_bundle(path: str, model, params, lengths: Sequence[float] = (),
         "platforms": list(platforms),
         "jax_version": jax.__version__,
     }
+    if early_exit:
+        meta["early_exit"] = sorted(int(d) for d in early_exit)
+    if progressive is not None:
+        depth_full = progressive.get("depth_full") or full_depth
+        meta["progressive"] = {
+            "depth1": int(progressive["depth1"]),
+            "depth_full": int(depth_full),
+            "threshold": float(progressive.get("threshold", 0.05)),
+        }
     if streaming is not None:
         seg_len = int(round(float(streaming["segment"]) * sr))
         n_streams = int(streaming.get("max_streams", 4))
@@ -251,14 +334,7 @@ class DeployedSeparator:
         return outputs
 
 
-def load_bundle(path: str, params_npz: str | None = None,
-                coarse: bool = False) -> DeployedSeparator:
-    """Load a bundle saved by :func:`save_bundle`. ``params_npz``
-    optionally swaps in different weights (same tree) without re-export
-    — e.g. a newer checkpoint of the same architecture. ``coarse``
-    allows routing an utterance to the next-larger bucket when its
-    lattice-exact program wasn't exported (approximate — see module
-    docstring)."""
+def _load_meta_params(path: str, params_npz: str | None):
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     if meta.get("format_version", 0) > _FORMAT_VERSION:
@@ -267,21 +343,145 @@ def load_bundle(path: str, params_npz: str | None = None,
             f"loader ({_FORMAT_VERSION})")
     with np.load(params_npz or os.path.join(path, "params.npz")) as z:
         params = _unflatten({k: z[k] for k in z.files})
+    return meta, params
+
+
+def _load_programs(path: str, prefix: str, suffix: str = ""):
+    """``{target: Exported}`` for program files named
+    ``<prefix><target>_B<batch><suffix>.shlo``."""
     programs = {}
     pdir = os.path.join(path, "programs")
     for fname in sorted(os.listdir(pdir)):
-        # T*.shlo = batched bucket programs; S*.shlo = streaming
-        # segment programs (exact seg_len, load_streaming's)
-        if not (fname.endswith(".shlo") and fname.startswith("T")):
+        if not (fname.endswith(suffix + ".shlo")
+                and fname.startswith(prefix)):
             continue
-        target = int(fname.split("_")[0][1:])
+        stem = fname[len(prefix):]
+        target = int(stem.split("_")[0])
         with open(os.path.join(pdir, fname), "rb") as f:
             programs[target] = jax_export.deserialize(bytearray(f.read()))
-    if not programs:
-        raise ValueError(f"no batched programs/T*.shlo found under {path}"
-                         " (a streaming-only bundle serves via"
-                         " load_streaming)")
+    return programs
+
+
+def load_bundle(path: str, params_npz: str | None = None,
+                coarse: bool = False,
+                num_blocks: int | None = None) -> DeployedSeparator:
+    """Load a bundle saved by :func:`save_bundle`. ``params_npz``
+    optionally swaps in different weights (same tree) without re-export
+    — e.g. a newer checkpoint of the same architecture. ``coarse``
+    allows routing an utterance to the next-larger bucket when its
+    lattice-exact program wasn't exported (approximate — see module
+    docstring). ``num_blocks`` selects an early-exit operating point
+    exported via ``save_bundle(..., early_exit=[...])`` instead of the
+    full-depth programs."""
+    meta, params = _load_meta_params(path, params_npz)
+    if num_blocks is None:
+        # T*.shlo = full-depth bucket programs; S*/E*/P*.shlo are the
+        # streaming / early-exit / progressive programs
+        programs = _load_programs(path, "T")
+        if not programs:
+            raise ValueError(
+                f"no batched programs/T*.shlo found under {path}"
+                " (a streaming-only bundle serves via load_streaming)")
+    else:
+        if num_blocks not in meta.get("early_exit", []):
+            raise ValueError(
+                f"bundle at {path} exports early-exit depths "
+                f"{meta.get('early_exit', [])}, not {num_blocks}; "
+                "re-export with save_bundle(..., early_exit=[...])")
+        programs = _load_programs(path, f"E{num_blocks}_T")
     return DeployedSeparator(meta, params, programs, coarse=coarse)
+
+
+class DeployedProgressiveSeparator:
+    """Serves the adaptive-depth path from a bundle — stage-1 sweep at
+    depth1, threshold census, exact stage-2 continuation of flagged
+    utterances — through ``tdanet_tpu.progressive.progressive_loop``,
+    the SAME host orchestration the in-framework engine uses, with the
+    bundle's deserialized stage programs. No model code; outputs
+    bit-identical to ``separate_progressive`` (tests/test_deploy.py)."""
+
+    def __init__(self, meta: Dict[str, Any], params,
+                 stages: Dict[int, tuple], coarse: bool = False):
+        self.meta = meta
+        self.params = params
+        self.sample_rate = meta["sample_rate"]
+        self.batch_size = meta["batch_size"]
+        self.lattice = meta["lattice"]
+        self.coarse = coarse
+        self.depth1 = meta["progressive"]["depth1"]
+        self.depth_full = meta["progressive"]["depth_full"]
+        self.threshold = meta["progressive"]["threshold"]
+        self.targets = sorted(stages)
+        # (est, state) avals: est is (B, n_src, T)
+        self.n_src = int(stages[self.targets[0]][0].out_avals[0].shape[1])
+        self._stages = stages
+        self._fn_cache: Dict[int, tuple] = {}
+        # reuse DeployedSeparator's lattice-exact/coarse length routing
+        self._router = DeployedSeparator(meta, None,
+                                         dict.fromkeys(stages),
+                                         coarse=coarse)
+
+    def _fns(self, target: int):
+        if target not in self._fn_cache:
+            e1, e2 = self._stages[target]
+            self._fn_cache[target] = (jax.jit(e1.call), jax.jit(e2.call))
+        return self._fn_cache[target]
+
+    def separate(self, wav: np.ndarray, threshold=None):
+        return self.separate_batched([np.asarray(wav)],
+                                     threshold=threshold)[0]
+
+    def separate_batched(self, wavs, threshold=None, stats=None) -> list:
+        """Variable-length utterances -> per-utterance (n_src, T_i)
+        estimates, adaptive depth per utterance. ``stats`` (optional
+        dict) accumulates the escalation census across buckets."""
+        from tdanet_tpu.progressive import progressive_loop
+        threshold = self.threshold if threshold is None else threshold
+        buckets: Dict[int, list] = {}
+        for i, w in enumerate(wavs):
+            buckets.setdefault(
+                self._router._bucket(int(np.asarray(w).shape[-1])),
+                []).append(i)
+        outputs = [None] * len(wavs)
+        if stats is not None:
+            stats.setdefault("n", 0)
+            stats.setdefault("n_escalated", 0)
+        for target, idxs in sorted(buckets.items()):
+            fn1, fn2 = self._fns(target)
+            mixes = np.zeros((len(idxs), target), np.float32)
+            for row, i in enumerate(idxs):
+                w = np.asarray(wavs[i], np.float32)
+                mixes[row, :w.shape[-1]] = w
+            ests, info = progressive_loop(
+                fn1, fn2, self.params, mixes, self.n_src,
+                threshold, self.batch_size,
+                depth1=self.depth1, depth_full=self.depth_full)
+            if stats is not None:
+                stats["n"] += len(idxs)
+                stats["n_escalated"] += info["n_escalated"]
+            for row, i in enumerate(idxs):
+                mix = np.asarray(wavs[i], np.float32)
+                outputs[i] = trim_renorm(mix, ests[row])
+        return outputs
+
+
+def load_progressive(path: str, params_npz: str | None = None,
+                     coarse: bool = False) -> DeployedProgressiveSeparator:
+    """Build the adaptive-depth separator from a bundle exported with
+    ``progressive=dict(depth1=...)``."""
+    meta, params = _load_meta_params(path, params_npz)
+    if "progressive" not in meta:
+        raise ValueError(
+            f"bundle at {path} has no progressive programs; re-export "
+            "with save_bundle(..., progressive=dict(depth1=...))")
+    s1 = _load_programs(path, "P", suffix="_s1")
+    s2 = _load_programs(path, "P", suffix="_s2")
+    if sorted(s1) != sorted(s2) or not s1:
+        raise ValueError(f"incomplete progressive stage pairs under "
+                         f"{path}: s1={sorted(s1)} s2={sorted(s2)}")
+    stages = {t: (s1[t], s2[t]) for t in s1}
+    return DeployedProgressiveSeparator(meta, params, stages,
+                                        coarse=coarse)
 
 
 def load_streaming(path: str, params_npz: str | None = None,

@@ -111,6 +111,22 @@ def separate_progressive(model, params, mixes, depth1=8, depth_full=None,
         from tdanet_tpu.parallel.mesh import dp_batch_setup
         x_sharding, params = dp_batch_setup(mesh, batch_size, params)
 
+    return progressive_loop(stage1, stage2, params, mixes, n_src,
+                            threshold, batch_size, x_sharding,
+                            depth1=depth1, depth_full=depth_full)
+
+
+def progressive_loop(stage1, stage2, params, mixes, n_src, threshold,
+                     batch_size, x_sharding=None, *, depth1, depth_full):
+    """Host orchestration shared by :func:`separate_progressive` and the
+    deployment-bundle path (deploy.load_progressive): stage-1 sweep,
+    threshold census, device-side escalation gather, stage-2
+    continuation. ``stage1``/``stage2`` are the compiled batch programs
+    — jitted model closures here, deserialized StableHLO in a bundle —
+    so the two paths are the same code and their outputs bit-identical."""
+    mixes = np.asarray(mixes, np.float32)
+    N, T = mixes.shape
+
     def _place(x):
         return jnp.asarray(x) if x_sharding is None else \
             jax.device_put(x, x_sharding)

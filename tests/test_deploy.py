@@ -174,6 +174,100 @@ def test_streaming_from_bundle(tmp_path):
                                    rtol=1e-5, atol=1e-6)
 
 
+def build_deep(num_blocks=3):
+    model = TDANetBest(out_channels=32, in_channels=64,
+                       num_blocks=num_blocks, upsampling_depth=4,
+                       enc_kernel_size=4, num_sources=2, sample_rate=SR)
+    return model, model.init(jax.random.PRNGKey(0))
+
+
+def test_bundle_early_exit_programs(tmp_path):
+    """early_exit=[d] exports one extra program per (depth, bucket);
+    load_bundle(num_blocks=d) serves it bit-identically to the
+    in-framework early-exit engine (the depth knob, docs/PERF.md)."""
+    model, params = build_deep()
+    rng = np.random.default_rng(6)
+    wavs = make_wavs(rng, [0.5, 0.43])
+
+    meta = deploy.save_bundle(str(tmp_path), model, params,
+                              lengths=[0.5, 0.43], batch_size=2,
+                              early_exit=[1])
+    assert meta["early_exit"] == [1]
+    assert all(
+        os.path.exists(tmp_path / "programs" / f"E1_T{t}_B2.shlo")
+        for t in meta["targets"])
+
+    # full-depth default still routes to the T programs
+    dep_full = deploy.load_bundle(str(tmp_path))
+    want_full = separate_batched(model, params, wavs, batch_size=2)
+    for g, w in zip(dep_full.separate_batched(wavs), want_full):
+        np.testing.assert_allclose(g, np.asarray(w), rtol=1e-5, atol=1e-6)
+
+    dep1 = deploy.load_bundle(str(tmp_path), num_blocks=1)
+    want1 = separate_batched(model, params, wavs, batch_size=2,
+                             num_blocks=1)
+    for g, w, full in zip(dep1.separate_batched(wavs), want1, want_full):
+        np.testing.assert_allclose(g, np.asarray(w), rtol=1e-5, atol=1e-6)
+        assert np.abs(g - np.asarray(full)).max() > 1e-4  # a real knob
+
+    with pytest.raises(ValueError, match="early-exit depths"):
+        deploy.load_bundle(str(tmp_path), num_blocks=2)
+
+    # validation: depths outside (0, num_blocks) refuse at export
+    with pytest.raises(ValueError, match="early_exit depth"):
+        deploy.save_bundle(str(tmp_path / "bad"), model, params,
+                           lengths=[0.5], batch_size=2, early_exit=[3])
+
+
+def test_bundle_progressive_matches_engine(tmp_path):
+    """progressive=dict(depth1=...) exports the stage pair; the loaded
+    separator runs the SAME progressive_loop orchestration as
+    tdanet_tpu.progressive — outputs bit-identical at every threshold
+    regime (VERDICT r3 #7), without model code."""
+    from tdanet_tpu.progressive import separate_progressive
+    from tdanet_tpu.utils.separator import trim_renorm
+
+    model, params = build_deep()
+    rng = np.random.default_rng(7)
+    wavs = make_wavs(rng, [0.5, 0.5, 0.43])
+
+    meta = deploy.save_bundle(str(tmp_path), model, params,
+                              lengths=[0.5, 0.43], batch_size=2,
+                              progressive=dict(depth1=2, threshold=0.05))
+    assert meta["progressive"] == {"depth1": 2, "depth_full": 3,
+                                   "threshold": 0.05}
+
+    dep = deploy.load_progressive(str(tmp_path))
+    assert dep.n_src == 2
+    for thr in (-1.0, np.inf, 0.05):
+        stats = {}
+        got = dep.separate_batched(wavs, threshold=thr, stats=stats)
+        assert stats["n"] == 3
+        # engine reference: bucket exactly like the bundle and run the
+        # in-framework progressive path on the padded batches
+        for i, w in enumerate(wavs):
+            T = w.shape[-1]
+            target = -(-T // dep.lattice) * dep.lattice
+            mix = np.zeros((1, target), np.float32)
+            mix[0, :T] = w
+            ests, _ = separate_progressive(
+                model, params, mix, depth1=2, threshold=thr,
+                batch_size=2)
+            want = trim_renorm(w, ests[0])
+            np.testing.assert_allclose(got[i], want, rtol=1e-5,
+                                       atol=1e-6)
+        if thr == np.inf:
+            assert stats["n_escalated"] == 0
+        elif thr == -1.0:
+            assert stats["n_escalated"] == 3
+
+    # loader guidance when the bundle has no progressive programs
+    deploy.save_bundle(str(tmp_path / "plain"), model, params,
+                       lengths=[0.5], batch_size=2)
+    with pytest.raises(ValueError, match="no progressive programs"):
+        deploy.load_progressive(str(tmp_path / "plain"))
+
+
 @pytest.mark.slow
 def test_bundle_runs_without_model_code(tmp_path):
     """A fresh interpreter serves the bundle without ever importing
