@@ -28,7 +28,8 @@ import pytest  # noqa: E402
 
 # Modules excluded from `-m fast` (e2e training, torch-oracle fidelity
 # sweeps, subprocess-spawning suites). Everything else is marked fast;
-# `python -m pytest tests/ -m fast -q` is the <10 min pre-commit gate.
+# `python -m pytest tests/ -m fast -q` is the pre-commit gate — ~15-20
+# min wall (measured 17:28 under host contention, round-3 VERDICT).
 SLOW_MODULES = {
     "test_e2e_train.py",
     "test_multihost.py",
@@ -36,6 +37,7 @@ SLOW_MODULES = {
     "test_resilience.py",
     "test_tdanet_best_fidelity.py",
     "test_config_fuzz_fidelity.py",
+    "test_emcad_config_fuzz.py",
     "test_variants_fidelity.py",
     "test_emcad_models_fidelity.py",
     "test_grad_fidelity.py",
