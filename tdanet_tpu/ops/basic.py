@@ -192,14 +192,46 @@ def store_activation(x):
     return x.astype(fp8).astype(x.dtype)
 
 
+def _small_group_conv1d(x, w):
+    """Stride-1 grouped conv with FEW inputs per group and ONE output
+    per group (LGAG's gates: 512->256, groups=256, ig=2, k=3), lowered
+    to a shift-FMA chain over the (B, O, ig, T) view.
+
+    XLA's TPU grouped-conv lowering is pathological at this shape: the
+    round-4 TDANetEMCADv1_6 profile (scripts/profile_model.py) showed
+    the two LGAG gate convs at 19.2 ms EACH per B=24 forward
+    (bf16[24,256,2010] out — ~75 MB of traffic, so ~0.1 ms at HBM
+    speed-of-light) plus ~26 ms of forced layout copies
+    ({0,2,1,3:T(2,128)} tilings) — 38% of the model's device time. The
+    shift-FMA form is K slices of one padded tensor, multiplied by
+    per-(O, ig) scalars and reduced over ig: a single fused
+    bandwidth-bound VPU pass, like _dw_conv_s2_fold. Reference
+    semantics: torch Conv1d(F_g, F_int, k, padding=k//2, groups=F_int)
+    in EMCAD.py:251-286 (LGAG)."""
+    B, C, T = x.shape
+    O, ig, K = w.shape
+    pad = K // 2
+    n_out = T  # stride 1, 'same' padding
+    xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)))
+    xr = xp.reshape(B, O, ig, T + 2 * pad)
+    out = None
+    for k in range(K):
+        sl = lax.slice_in_dim(xr, k, k + n_out, axis=3)
+        term = jnp.sum(sl * w[None, :, :, k, None], axis=2)
+        out = term if out is None else out + term
+    return out
+
+
 def conv1d(x, params, *, stride=1, padding=0, dilation=1, groups=1):
     """torch-semantics Conv1d. x: (B, C, T); weight (O, I/g, K).
 
     k=1 depthwise convs (per-channel scales, used pervasively by the LA
     fusions) skip the conv primitive entirely; XLA's grouped-conv
-    lowering is kept for k>1 (measured faster than shift-add in this
-    layout, docs/PERF.md), EXCEPT small-batch stride-2 'same' depthwise
-    convs which use the phase-split formulation (see above).
+    lowering is kept for k>1 DEPTHWISE convs (measured faster than
+    shift-add in this layout, docs/PERF.md), EXCEPT small-batch
+    stride-2 'same' depthwise convs (phase-split formulation, see
+    above) and stride-1 'same' small-group convs with one output per
+    group (shift-FMA, see _small_group_conv1d — the LGAG treatment).
     """
     w = params["weight"].astype(x.dtype)
     O, ig, K = w.shape
@@ -213,6 +245,10 @@ def conv1d(x, params, *, stride=1, padding=0, dilation=1, groups=1):
             and dilation == 1 and K % 2 == 1 and padding == K // 2 \
             and x.shape[0] <= DW_S2_FOLD_MAX_BATCH:
         out = _dw_conv_s2_fold(x, w)
+    elif groups > 1 and O == groups and 2 <= ig <= 4 and stride == 1 \
+            and dilation == 1 and 1 < K <= 7 and K % 2 == 1 \
+            and padding == K // 2:
+        out = _small_group_conv1d(x, w)
     else:
         out = lax.conv_general_dilated(
             x, w,
@@ -438,8 +474,15 @@ def interpolate_nearest(x, out_size: int):
     L = x.shape[-1]
     if L == out_size:
         return x
-    idx = np.floor(np.arange(out_size) * (L / out_size)).astype(np.int64)
-    idx = np.minimum(idx, L - 1)
+    # torch's kernel floors in FLOAT32 (floorf(dst * (float)(L/out)),
+    # UpSampleKernel nearest_neighbor_compute_source_index): at e.g.
+    # L=14,out=110 the f32 scale rounds UP and index 55 maps to 7 where
+    # exact math gives 6 — float64 here diverged from torch on every
+    # depth-4 ladder (round-4 EMCAD config fuzz). Fuzzed exact vs torch
+    # over all L<=256 x 66 out-sizes: zero mismatches.
+    scale = np.float32(L / out_size)
+    idx = np.floor(np.arange(out_size, dtype=np.float32) * scale)
+    idx = np.minimum(idx.astype(np.int64), L - 1)
     k = -(-out_size // L)  # ceil ratio
     if k >= 2 and np.array_equal(idx, np.arange(out_size) // k):
         # e.g. 1005->2010 (exact x2) or 503->1005 (x2 then truncate):

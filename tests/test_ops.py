@@ -199,3 +199,50 @@ def test_dw_conv_s2_fold_matches_conv_primitive():
                                        rtol=1e-6, atol=1e-6)
             np.testing.assert_allclose(np.asarray(gotv[:, 0]), want,
                                        rtol=RTOL, atol=ATOL)
+
+
+def test_interpolate_nearest_f32_index_semantics():
+    """torch floors the nearest-neighbor source index in FLOAT32
+    (floorf(dst * (float)(L/out))); at L=14,out=110 the f32 scale
+    rounds up and index 55 maps to source 7 where exact rational math
+    gives 6. Round-4 regression: the float64 index formula silently
+    diverged on every depth-4 ladder (EMCAD config fuzz B cases)."""
+    import torch.nn.functional as F
+    rng = np.random.default_rng(0)
+    for L, out in [(14, 110), (14, 55), (28, 110), (110, 14), (7, 30),
+                   (126, 2010), (503, 1005), (55, 377)]:
+        x = rng.standard_normal((2, 3, L)).astype(np.float32)
+        want = F.interpolate(torch.from_numpy(x), size=out,
+                             mode="nearest").numpy()
+        got = np.asarray(ops.interpolate_nearest(jnp.asarray(x), out))
+        np.testing.assert_array_equal(got, want, err_msg=f"{L}->{out}")
+
+
+def test_small_group_conv1d_matches_torch():
+    """The shift-FMA lowering for stride-1 'same' grouped convs with one
+    output per group (ops._small_group_conv1d — the LGAG-gate treatment,
+    round-4 profile: XLA's grouped-conv lowering was 38% of
+    TDANetEMCADv1_6's device time) must match torch Conv1d exactly,
+    forward and gradient, across group widths and kernel sizes."""
+    for seed, (C, O, ig, K, T) in enumerate([
+            (512, 256, 2, 3, 101),   # the LGAG shape (EMCAD.py:251-286)
+            (12, 4, 3, 5, 37),
+            (16, 4, 4, 7, 64)]):
+        torch.manual_seed(seed)
+        m = nn.Conv1d(C, O, K, padding=K // 2, groups=O, bias=True)
+        x = torch.randn(3, C, T)
+        want = to_np(m(x))
+        params = {"weight": jnp.asarray(to_np(m.weight)),
+                  "bias": jnp.asarray(to_np(m.bias))}
+        got = ops.conv1d(jnp.asarray(to_np(x)), params, padding=K // 2,
+                         groups=O)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL,
+                                   atol=ATOL)
+        # gradient parity vs torch autograd
+        xt = x.clone().requires_grad_(True)
+        m(xt).square().sum().backward()
+        gx = jax.grad(lambda a: jnp.sum(ops.conv1d(
+            a, params, padding=K // 2, groups=O) ** 2))(
+                jnp.asarray(to_np(x)))
+        np.testing.assert_allclose(np.asarray(gx), to_np(xt.grad),
+                                   rtol=1e-4, atol=1e-4)
