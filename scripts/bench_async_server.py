@@ -138,6 +138,10 @@ def main():
     ap.add_argument("--n_requests", type=int, default=400)
     ap.add_argument("--closed_only", action="store_true")
     ap.add_argument("--rates", type=str, default="")
+    ap.add_argument("--adaptive", action="store_true",
+                    help="adaptive batch-size ladder (grow under "
+                         "overload toward max_batch)")
+    ap.add_argument("--min_batch", type=int, default=None)
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
@@ -146,11 +150,22 @@ def main():
     server = AsyncBatchServer(
         model, params, max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms, pipeline_depth=args.pipeline_depth,
-        compute_dtype=jnp.bfloat16 if args.bf16 else None)
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
+        adaptive=args.adaptive, min_batch=args.min_batch)
     try:
         # warm everything (bucket compile) before timing; the 16-block
         # remote compile can exceed 10 min on a contended host
         server.separate(clips[0], timeout=1800)
+        if args.adaptive:
+            # compile every ladder rung up front so the measurement sees
+            # steady-state growth, not a compile stall (in production
+            # the background compiler hides this; here it would skew
+            # the fixed-duration timing windows)
+            lattice = server.lattice
+            target = -(-clips[0].shape[-1] // lattice) * lattice
+            for B in server._ladder:
+                print(f"prewarm rung B={B}...", file=sys.stderr)
+                server._get_fwd(target, B)
 
         row = closed_loop(server, clips, n_clients=4 * args.max_batch,
                           n_requests=args.n_requests, clip_s=args.clip_s)
