@@ -703,27 +703,43 @@ class AsyncBatchServer:
                     self.stats["rung_highwater"], self._rung)
                 for t in list(self._targets):
                     self._schedule_compile(t, self._ladder[self._rung])
-        elif n < cap:
+        elif self._rung > 0 and n <= self._ladder[self._rung - 1]:
+            # only coalesces that would have FIT the lower rung count as
+            # idle: n=12 at rung 16 is still >8-deep traffic, and
+            # shrinking on it caused grow/shrink oscillation right at
+            # the rung boundary (the round-4 mid-overload dip)
             self._idle += 1
             self._pressure = 0
-            if self._idle >= 4 and self._rung > 0:
+            if self._idle >= 4:
                 self._rung -= 1
                 self._idle = 0
         else:
             self._pressure = 0
             self._idle = 0
 
-    def _pick_fwd(self, target: int):
+    def _pick_fwd(self, target: int, n: int = None):
         """(B, fwd, err): the largest READY rung <= the current target
         rung; schedules a background compile for the target rung when
         it isn't ready yet. Rung 0 builds synchronously — it is the
-        always-available baseline (and the only path when adaptive=False)."""
-        for i in range(self._rung, 0, -1):
+        always-available baseline (and the only path when adaptive=False).
+
+        When ``n`` (the actual group size) is given, the scan starts at
+        the SMALLEST rung that fits n instead of the current rung:
+        shipping a half-filled coalesce through the big program spends
+        the padding rows' compute for nothing, which is exactly what
+        made throughput collapse at the grow/shrink boundary under
+        mid-overload (measured: 109.8x at 157x offered vs 140.7x for
+        the fixed-B server — docs/SERVING.md round-4 curve)."""
+        top = self._rung
+        if n is not None:
+            while top > 0 and self._ladder[top - 1] >= n:
+                top -= 1
+        for i in range(top, 0, -1):
             B = self._ladder[i]
             fn = self._ready_fwd(target, B)
             if fn is not None:
                 return B, fn, None
-            if i == self._rung:
+            if i == top:
                 self._schedule_compile(target, B)
         try:
             return self._ladder[0], self._get_fwd(target, self._ladder[0]), \
@@ -741,7 +757,7 @@ class AsyncBatchServer:
             buckets.setdefault(t, []).append((wav, fut))
         for target, reqs in buckets.items():
             self._note_target(target)
-            B, fwd, err = self._pick_fwd(target)
+            B, fwd, err = self._pick_fwd(target, n=len(reqs))
             if fwd is None:
                 for _, fut in reqs:
                     _resolve(fut, exc=err)

@@ -386,3 +386,55 @@ def test_async_batch_server_adaptive_mesh_validates_min_batch():
                                        rtol=1e-4, atol=1e-5)
     finally:
         server.close()
+
+def test_adaptive_right_size_dispatch_and_sticky_shrink():
+    """Round-4 policy fixes, pinned white-box (the mid-overload dip:
+    109.8x at 157x offered vs 140.7x fixed-B — docs/SERVING.md):
+
+    1. a group smaller than the current rung dispatches through the
+       smallest READY rung that fits it (padding rows burn real device
+       time — never ship a half-filled coalesce through the big
+       program);
+    2. a coalesce that would NOT have fit the lower rung is not
+       evidence for shrinking (n=6 at rung 8 is still >4-deep traffic;
+       shrinking on it oscillated 8<->16 right at the rung boundary).
+    """
+    from tdanet_tpu.serving import AsyncBatchServer
+
+    model, params = build()
+    server = AsyncBatchServer(model, params, max_batch=8, max_wait_ms=2,
+                              adaptive=True, min_batch=2)
+    assert server._ladder == [2, 4, 8]
+    try:
+        target = 8000
+
+        # force the top rung, as after a sustained overload
+        server._rung = 2
+
+        # (1) n=2 fits rung 0: must come back B=2 (rung 0 builds
+        # synchronously, so it is always READY) — not B=8
+        B, fwd, err = server._pick_fwd(target, n=2)
+        assert err is None and fwd is not None
+        assert B == 2, B
+
+        # n=8 needs the top rung; until its background compile lands,
+        # the synchronous rung-0 baseline serves (chunked dispatch)
+        B, _, _ = server._pick_fwd(target, n=8)
+        assert B in (2, 8), B
+
+        # (2) shrink accounting: with the queue empty, an n=6 coalesce
+        # at rung 8 must NOT count toward shrinking (6 > ladder[1]=4)...
+        server._rung = 2
+        server._idle = 0
+        for _ in range(8):
+            server._adapt(6)
+        assert server._rung == 2, server._rung
+        # ...but four consecutive coalesces that fit the lower rung do
+        for _ in range(4):
+            server._adapt(3)
+        assert server._rung == 1, server._rung
+        for _ in range(4):
+            server._adapt(1)
+        assert server._rung == 0, server._rung
+    finally:
+        server.close()
