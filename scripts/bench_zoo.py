@@ -27,6 +27,9 @@ from tdanet_tpu.utils.misc import honor_jax_platforms_env
 honor_jax_platforms_env()
 
 # family -> (class name, extra ctor kwargs). Recipe config otherwise.
+# The round-3 curated core; `--all` (default) appends every other
+# registered separation model so no family can hide an XLA-lowering
+# pathology the way TDANetEMCADv1_6's LGAG grouped convs did.
 ZOO = [
     ("TDANetBest", {}),            # flagship (released ckpts)
     ("TDANetYang", {}),            # configs/tdanet.yml default
@@ -37,22 +40,31 @@ ZOO = [
     ("TDANetGateOSRA", {}),        # OSRA attention GA
     ("TDANetDynamicDownsample", {}),  # input-dependent dyn-conv downsample
 ]
+N_CORE = len(ZOO)
+# non-core ctor quirks (reference's own __main__ config values):
+ZOO += [
+    ("TDANetMultRes", {"kernels": 4}),  # out_channels % kernels == 0
+]
 
 
-def feat_len_for(T, enc_kernel_ms, sr):
-    """Scale-0 frame count after lattice pad + framed encoder
-    (mirrors ops.pad_signal + the stride-K/4 conv with padding=K//2)."""
-    K = enc_kernel_ms * sr // 1000
-    S = K // 4
-    rest = K - (S + T % K) % K
-    T_p = T + (rest if rest > 0 else 0) + 2 * (K - S)
-    return (T_p + 2 * (K // 2) - K) // S + 1
+def all_zoo_names():
+    """Curated order first, then the rest of the registry alphabetically."""
+    from tdanet_tpu.models.base import _MODEL_REGISTRY
+    core = [n for n, _ in ZOO]
+    rest = sorted(c.__name__ for c in _MODEL_REGISTRY.values()
+                  if c.__name__ not in core)
+    return core + rest
+
+
+from tdanet_tpu.models.tdanet_emcad import feat_len_for  # noqa: E402
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", default=None,
                     help="comma-separated subset of the zoo")
+    ap.add_argument("--core", action="store_true",
+                    help="only the curated round-3 core table rows")
     ap.add_argument("--blocks", type=int, default=16)
     ap.add_argument("--batch", type=int, default=24)
     ap.add_argument("--seconds", type=float, default=2.0)
@@ -63,7 +75,8 @@ def main():
     import tdanet_tpu.models as zoo
 
     names = (args.models.split(",") if args.models
-             else [n for n, _ in ZOO])
+             else [n for n, _ in ZOO[:N_CORE]] if args.core
+             else all_zoo_names())
     extra = dict(ZOO)
     dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[args.dtype]
     sr = 16000
@@ -78,8 +91,11 @@ def main():
     for name in names:
         cls = getattr(zoo, name)
         kw = dict(extra.get(name, {}))
-        if "feat_len" in inspect.signature(cls.__init__).parameters:
+        if any("feat_len" in inspect.signature(c.__init__).parameters
+               for c in cls.__mro__ if "__init__" in vars(c)):
             # era models with RPE tables need static scale-0 lengths
+            # (some, e.g. TDANetMSFFN, forward it via **kwargs to an
+            # era base class — hence the MRO walk)
             kw.setdefault("feat_len", feat_len_for(T, 4, sr))
         model = cls(out_channels=128, in_channels=512,
                     num_blocks=args.blocks, upsampling_depth=5,

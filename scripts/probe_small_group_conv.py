@@ -31,17 +31,12 @@ def xla_conv(x, w, padding, groups):
 
 
 def shift_fma(x, w, padding, groups):
-    B, C, T = x.shape
-    O, ig, K = w.shape
-    n_out = T + 2 * padding - K + 1
-    xp = jnp.pad(x, ((0, 0), (0, 0), (padding, padding)))
-    xr = xp.reshape(B, O, ig, T + 2 * padding)
-    out = None
-    for k in range(K):
-        sl = lax.slice_in_dim(xr, k, k + n_out, axis=3)
-        term = jnp.sum(sl * w[None, :, :, k, None], axis=2)
-        out = term if out is None else out + term
-    return out
+    # A/B the SHIPPED lowering, not a local copy that could drift from
+    # what conv1d actually dispatches ('same' stride-1 shapes only,
+    # which is all this probe sweeps)
+    from tdanet_tpu.ops.basic import _small_group_conv1d
+    assert padding == w.shape[-1] // 2
+    return _small_group_conv1d(x, w)
 
 
 def bench(fn, x, w, padding, groups, iters=30):

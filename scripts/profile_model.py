@@ -23,12 +23,7 @@ from tdanet_tpu.utils.misc import honor_jax_platforms_env
 honor_jax_platforms_env()
 
 
-def feat_len_for(T, enc_kernel_ms, sr):
-    K = enc_kernel_ms * sr // 1000
-    S = K // 4
-    rest = K - (S + T % K) % K
-    T_p = T + (rest if rest > 0 else 0) + 2 * (K - S)
-    return (T_p + 2 * (K // 2) - K) // S + 1
+from tdanet_tpu.models.tdanet_emcad import feat_len_for  # noqa: E402
 
 
 def main():
@@ -47,7 +42,10 @@ def main():
     sr = 16000
     T = int(sr * args.seconds)
     kw = {}
-    if "feat_len" in inspect.signature(cls.__init__).parameters:
+    if any("feat_len" in inspect.signature(c.__init__).parameters
+           for c in cls.__mro__ if "__init__" in vars(c)):
+        # era models may forward feat_len via **kwargs to an era base
+        # class (e.g. TDANetMSFFN) — hence the MRO walk
         kw["feat_len"] = feat_len_for(T, 4, sr)
     model = cls(out_channels=128, in_channels=512, num_blocks=args.blocks,
                 upsampling_depth=5, enc_kernel_size=4, num_sources=2,

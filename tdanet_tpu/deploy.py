@@ -118,6 +118,14 @@ def export_progressive(model, params, target_len: int, batch_size: int,
             f"surface (apply_stage1/apply_stage2/pad_rest); "
             f"{type(model).__name__} has none")
     depth_full = depth_full if depth_full is not None else model.num_blocks
+    if depth_full > model.num_blocks:
+        # same loud failure as progressive.separate_progressive: a
+        # bundle must not silently ship a stage-2 program that
+        # extrapolates the shared-weight recurrence past the trained
+        # iteration count (components.py n_iter bound)
+        raise ValueError(
+            f"depth_full ({depth_full}) exceeds the trained depth "
+            f"({model.num_blocks})")
     if depth_full <= depth1:
         raise ValueError(f"depth_full ({depth_full}) must exceed "
                          f"depth1 ({depth1})")
@@ -184,6 +192,12 @@ def save_bundle(path: str, model, params, lengths: Sequence[float] = (),
         if full_depth is not None and not 0 < d < full_depth:
             raise ValueError(f"early_exit depth {d} must lie in "
                              f"(0, {full_depth}) for this model")
+    if early_exit and not targets:
+        # programs are per (depth, length bucket): with no buckets,
+        # meta would advertise depths that have zero programs and every
+        # load_bundle(num_blocks=d).separate() would fail with a
+        # misleading lattice-routing error
+        raise ValueError("early_exit export needs lengths")
     if progressive is not None and not targets:
         raise ValueError("progressive export needs lengths")
 
@@ -389,6 +403,13 @@ def load_bundle(path: str, params_npz: str | None = None,
                 f"{meta.get('early_exit', [])}, not {num_blocks}; "
                 "re-export with save_bundle(..., early_exit=[...])")
         programs = _load_programs(path, f"E{num_blocks}_T")
+        if not programs:
+            # save_bundle now rejects early_exit without lengths, but a
+            # bundle written before that guard could advertise depths
+            # with zero programs — fail here, not at separate() time
+            raise ValueError(
+                f"no early-exit programs/E{num_blocks}_T*.shlo found "
+                f"under {path}")
     return DeployedSeparator(meta, params, programs, coarse=coarse)
 
 

@@ -50,6 +50,18 @@ def feat_len_ladder(feat_len, depth):
     return out
 
 
+def feat_len_for(T, enc_kernel_ms, sample_rate):
+    """Scale-0 frame count for an input of ``T`` samples — the static
+    ``feat_len`` the era models' RPE tables need at construction
+    (mirrors ops.pad_signal + the stride-K/4 framed encoder with K//2
+    padding; enc_kernel_ms in milliseconds, as in the configs)."""
+    K = enc_kernel_ms * sample_rate // 1000
+    S = K // 4
+    rest = K - (S + T % K) % K
+    T_p = T + (rest if rest > 0 else 0) + 2 * (K - S)
+    return (T_p + 2 * (K // 2) - K) // S + 1
+
+
 # ---------------------------------------------------------------------------
 # LAOpt research fusions (used as last_layer in laopt variants)
 # ---------------------------------------------------------------------------

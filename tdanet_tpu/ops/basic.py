@@ -108,34 +108,47 @@ def prelu_init(num_parameters=1, init=0.25, dtype=jnp.float32):
 # keeps XLA's conv primitive everywhere.
 DW_S2_FOLD_MAX_BATCH = 0
 
+import threading as _threading  # noqa: E402
+
+_TRACE_TLS = _threading.local()
+_UNSET = object()
+
+
+def _dw_fold_gate():
+    """Effective fold gate for the CURRENT thread: a thread-local entry
+    (set by the ``dw_s2_fold`` context) overlays the module default."""
+    return getattr(_TRACE_TLS, "dw_fold", DW_S2_FOLD_MAX_BATCH)
+
 
 class dw_s2_fold:
     """Context manager: trace model code with the phase-split stride-2
     depthwise-conv formulation (see note above). Wrap the jit WARM call,
     not just jit construction — the flag is read at trace time.
 
-    The flag is process-global, so entries are serialized with a lock:
-    interleaved save/restore from concurrent warm-compiles (e.g. an
-    AsyncBatchServer worker warming a bucket while the main thread
-    builds a streaming engine) would otherwise leave the flag stuck."""
-
-    import threading as _threading
-    _lock = _threading.RLock()
+    The override is THREAD-LOCAL: jax traces on the calling thread, so
+    concurrent warm-compiles (AsyncBatchServer's background rung
+    compiler vs its dispatch thread) are exactly isolated without a
+    lock. The earlier process-global+lock design was doubly wrong under
+    the adaptive ladder: a no-fold trace taking no lock could read a
+    concurrent entry's flag and silently bake fold into a big-rung
+    program, and a fold entry held the lock across a multi-minute TPU
+    compile, stalling the live pipeline (round-4 review find).
+    ``dw_s2_fold(0)`` is an explicit no-fold entry, immune to the
+    module default."""
 
     def __init__(self, max_batch=10 ** 9):
         self.max_batch = max_batch
 
     def __enter__(self):
-        global DW_S2_FOLD_MAX_BATCH
-        dw_s2_fold._lock.acquire()
-        self._saved = DW_S2_FOLD_MAX_BATCH
-        DW_S2_FOLD_MAX_BATCH = self.max_batch
+        self._saved = getattr(_TRACE_TLS, "dw_fold", _UNSET)
+        _TRACE_TLS.dw_fold = self.max_batch
         return self
 
     def __exit__(self, *exc):
-        global DW_S2_FOLD_MAX_BATCH
-        DW_S2_FOLD_MAX_BATCH = self._saved
-        dw_s2_fold._lock.release()
+        if self._saved is _UNSET:
+            del _TRACE_TLS.dw_fold
+        else:
+            _TRACE_TLS.dw_fold = self._saved
         return False
 
 
@@ -150,13 +163,16 @@ class dw_s2_fold:
 ACT_STORAGE_DTYPE = None
 
 
+def _act_storage_mode():
+    """Effective act-storage mode for the CURRENT thread (thread-local
+    overlay over the module default, like _dw_fold_gate)."""
+    return getattr(_TRACE_TLS, "act_storage", ACT_STORAGE_DTYPE)
+
+
 class act_storage:
     """Context manager: trace model code with 8-bit activation storage at
     the recurrence landmarks. Wrap the jit WARM call (flag read at trace
-    time); entries serialized like dw_s2_fold."""
-
-    import threading as _threading
-    _lock = _threading.RLock()
+    time); thread-locally scoped like dw_s2_fold."""
 
     def __init__(self, dtype="int8"):
         if dtype not in (None, "int8", "fp8_e4m3", "fp8_e5m2"):
@@ -164,16 +180,15 @@ class act_storage:
         self.dtype = dtype
 
     def __enter__(self):
-        global ACT_STORAGE_DTYPE
-        act_storage._lock.acquire()
-        self._saved = ACT_STORAGE_DTYPE
-        ACT_STORAGE_DTYPE = self.dtype
+        self._saved = getattr(_TRACE_TLS, "act_storage", _UNSET)
+        _TRACE_TLS.act_storage = self.dtype
         return self
 
     def __exit__(self, *exc):
-        global ACT_STORAGE_DTYPE
-        ACT_STORAGE_DTYPE = self._saved
-        act_storage._lock.release()
+        if self._saved is _UNSET:
+            del _TRACE_TLS.act_storage
+        else:
+            _TRACE_TLS.act_storage = self._saved
         return False
 
 
@@ -181,7 +196,7 @@ def store_activation(x):
     """Quantize->dequantize ``x`` per the active act_storage mode (identity
     when off). int8 uses a dynamic per-tensor absmax scale; fp8 is a plain
     cast (dynamic range covers the normed activations)."""
-    mode = ACT_STORAGE_DTYPE
+    mode = _act_storage_mode()
     if mode is None:
         return x
     if mode == "int8":
@@ -243,7 +258,7 @@ def conv1d(x, params, *, stride=1, padding=0, dilation=1, groups=1):
         out = _depthwise_conv1d(x, w, stride, padding, dilation)
     elif groups == C and O == C and ig == 1 and stride == 2 \
             and dilation == 1 and K % 2 == 1 and padding == K // 2 \
-            and x.shape[0] <= DW_S2_FOLD_MAX_BATCH:
+            and x.shape[0] <= _dw_fold_gate():
         out = _dw_conv_s2_fold(x, w)
     elif groups > 1 and O == groups and 2 <= ig <= 4 and stride == 1 \
             and dilation == 1 and 1 < K <= 7 and K % 2 == 1 \

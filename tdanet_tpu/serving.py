@@ -24,7 +24,6 @@ serving:
 
 from __future__ import annotations
 
-from contextlib import nullcontext as _nullcontext
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -184,7 +183,7 @@ class StreamingSeparator:
         # latency-bound at batch 1, where the phase-split stride-2 dw
         # conv beats XLA's space-to-batched conv (+19% at B=4,
         # docs/PERF.md) — every later dispatch reuses this trace
-        with ops.dw_s2_fold() if dw_fold else _nullcontext():
+        with ops.dw_s2_fold(10 ** 9 if dw_fold else 0):
             self._fwd(params, jnp.zeros((1, self.seg_len), jnp.float32))
         self.reset()
 
@@ -285,8 +284,8 @@ class MultiStreamSeparator:
         self._fwd = jax.jit(fwd)
         # warm compile; fold formulation wins for hop-latency-bound
         # small batches (<=8 streams measured, docs/PERF.md)
-        with ops.dw_s2_fold() if (dw_fold and max_streams <= 8) \
-                else _nullcontext():
+        with ops.dw_s2_fold(
+                10 ** 9 if (dw_fold and max_streams <= 8) else 0):
             self._fwd(params, jnp.zeros((max_streams, self.seg_len),
                                         jnp.float32))
         self._streams: Dict[object, _StreamState] = {}
@@ -572,7 +571,10 @@ class AsyncBatchServer:
             single, in_axes=(None, 0))(p, x))
         fold = self._dw_fold_user if self._dw_fold_user is not None \
             else B <= 8
-        with ops.dw_s2_fold() if fold else _nullcontext():
+        # explicit thread-local gate either way: this runs on the
+        # dispatch thread OR the background rung compiler, and the two
+        # must not see each other's fold choice mid-trace
+        with ops.dw_s2_fold(10 ** 9 if fold else 0):
             fwd(self.params, self._place(
                 np.zeros((B, target), np.float32)))
         return fwd

@@ -43,13 +43,49 @@ def test_fp8_cast_changes_values():
 
 
 def test_context_restores_and_nests():
-    assert ops.basic.ACT_STORAGE_DTYPE is None
+    mode = ops.basic._act_storage_mode
+    assert mode() is None
     with ops.act_storage("int8"):
-        assert ops.basic.ACT_STORAGE_DTYPE == "int8"
+        assert mode() == "int8"
         with ops.act_storage("fp8_e5m2"):
-            assert ops.basic.ACT_STORAGE_DTYPE == "fp8_e5m2"
-        assert ops.basic.ACT_STORAGE_DTYPE == "int8"
-    assert ops.basic.ACT_STORAGE_DTYPE is None
+            assert mode() == "fp8_e5m2"
+        assert mode() == "int8"
+    assert mode() is None
+
+
+def test_trace_flags_are_thread_local():
+    """The trace-time formulation flags must not leak between threads:
+    AsyncBatchServer's background rung compiler warms fold-off B=16/24
+    programs WHILE the dispatch thread may be warming a fold-on rung-0
+    program (round-4 review find — the old process-global flag either
+    baked fold into the big rung or serialized compiles behind a lock
+    held for the whole multi-minute TPU compile)."""
+    import threading
+
+    seen = {}
+    inside = threading.Event()
+    release = threading.Event()
+
+    def holder():
+        with ops.dw_s2_fold():  # fold ON in this thread only
+            inside.set()
+            release.wait(timeout=10)
+            seen["holder"] = ops.basic._dw_fold_gate()
+
+    t = threading.Thread(target=holder)
+    t.start()
+    try:
+        assert inside.wait(timeout=10)
+        # concurrent reader thread (the "other" build) sees the default
+        assert ops.basic._dw_fold_gate() == 0
+        with ops.dw_s2_fold(0):  # explicit no-fold entry
+            assert ops.basic._dw_fold_gate() == 0
+        seen["main"] = ops.basic._dw_fold_gate()
+    finally:
+        release.set()
+        t.join(timeout=10)
+    assert seen["main"] == 0
+    assert seen["holder"] == 10 ** 9
 
 
 def test_model_forward_quantized_snr_reasonable():

@@ -218,6 +218,19 @@ def test_bundle_early_exit_programs(tmp_path):
         deploy.save_bundle(str(tmp_path / "bad"), model, params,
                            lengths=[0.5], batch_size=2, early_exit=[3])
 
+    # early_exit without length buckets would advertise depths with
+    # zero programs — refuse at export, not at separate() time
+    with pytest.raises(ValueError, match="needs lengths"):
+        deploy.save_bundle(str(tmp_path / "bad"), model, params,
+                           lengths=[], batch_size=2, early_exit=[1])
+
+    # a pre-guard bundle whose early-exit programs are gone must fail
+    # loudly at load, not with a lattice-routing error at separate()
+    for t in meta["targets"]:
+        os.remove(tmp_path / "programs" / f"E1_T{t}_B2.shlo")
+    with pytest.raises(ValueError, match="no early-exit programs"):
+        deploy.load_bundle(str(tmp_path), num_blocks=1)
+
 
 def test_bundle_progressive_matches_engine(tmp_path):
     """progressive=dict(depth1=...) exports the stage pair; the loaded
@@ -230,6 +243,13 @@ def test_bundle_progressive_matches_engine(tmp_path):
     model, params = build_deep()
     rng = np.random.default_rng(7)
     wavs = make_wavs(rng, [0.5, 0.5, 0.43])
+
+    # stage-2 must not extrapolate the shared-weight recurrence past
+    # the trained iteration count (components.py n_iter bound)
+    with pytest.raises(ValueError, match="exceeds the trained depth"):
+        deploy.save_bundle(str(tmp_path / "bad"), model, params,
+                           lengths=[0.5], batch_size=2,
+                           progressive=dict(depth1=2, depth_full=5))
 
     meta = deploy.save_bundle(str(tmp_path), model, params,
                               lengths=[0.5, 0.43], batch_size=2,

@@ -33,15 +33,7 @@ from tdanet_tpu.losses import PITLossWrapper, pairwise_neg_snr
 from tdanet_tpu.models import flat_torch_to_pytree
 
 
-def feat_len_for(T, enc_kernel_ms, sr):
-    """Frame count at scale 0 for input length T (ops.pad_signal +
-    stride-K/4 encoder with K//2 padding)."""
-    K = enc_kernel_ms * sr // 1000
-    S = K // 4
-    rest = K - (S + T % K) % K
-    rest = rest if rest > 0 else 0
-    Tp = T + rest + 2 * (K - S)
-    return (Tp + 2 * (K // 2) - K) // S + 1
+from tdanet_tpu.models.tdanet_emcad import feat_len_for  # noqa: E402
 
 
 # name -> (config overrides, input length)
