@@ -40,15 +40,25 @@ def build(args):
 
 
 def make_clips(args, n):
+    """Fixed-length clips, or variable lengths uniform in [lo, hi] s
+    (--var_len): the regime the reference's datasets actually serve
+    (libri2mixdatamodule.py:148-155 variable crops, full-length test)."""
     rng = np.random.default_rng(0)
-    T = int(args.clip_s * args.sr)
-    return [(rng.standard_normal(T) * 0.1).astype(np.float32)
-            for _ in range(min(n, 32))]
+    n = min(n, 32)
+    if args.var_len:
+        lo, hi = (float(v) for v in args.var_len.split(","))
+        secs = rng.uniform(lo, hi, n)
+    else:
+        secs = np.full(n, args.clip_s)
+    return [(rng.standard_normal(int(s * args.sr)) * 0.1)
+            .astype(np.float32) for s in secs]
 
 
-def closed_loop(server, clips, n_clients, n_requests, clip_s):
+def closed_loop(server, clips, n_clients, n_requests, sr):
     """Each client submits and waits — saturation capacity."""
     lat = []
+    audio_s = [0.0]
+    shed = [0]
     lock = threading.Lock()
     counter = [0]
 
@@ -59,11 +69,19 @@ def closed_loop(server, clips, n_clients, n_requests, clip_s):
                 if counter[0] >= n_requests:
                     return
                 counter[0] += 1
+            clip = clips[(cid + k) % len(clips)]
             t0 = time.perf_counter()
-            server.separate(clips[(cid + k) % len(clips)], timeout=300)
+            try:
+                server.separate(clip, timeout=300)
+            except Exception:
+                with lock:
+                    shed[0] += 1
+                k += 1
+                continue
             dt = time.perf_counter() - t0
             with lock:
                 lat.append(dt)
+                audio_s[0] += clip.shape[-1] / sr
             k += 1
 
     t0 = time.perf_counter()
@@ -77,14 +95,14 @@ def closed_loop(server, clips, n_clients, n_requests, clip_s):
     lat = np.array(sorted(lat))
     return {
         "mode": "closed", "clients": n_clients, "requests": len(lat),
-        "wall_s": round(wall, 3),
-        "agg_rtfx": round(len(lat) * clip_s / wall, 1),
+        "shed": shed[0], "wall_s": round(wall, 3),
+        "agg_rtfx": round(audio_s[0] / wall, 1),
         "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1),
         "p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 1),
     }
 
 
-def open_loop(server, clips, rate_hz, n_requests, clip_s):
+def open_loop(server, clips, rate_hz, n_requests, sr):
     """Uniform arrivals at rate_hz; measures latency under offered load.
 
     Latency is stamped by a done-callback at RESOLVE time (the resolver
@@ -92,36 +110,53 @@ def open_loop(server, clips, rate_hz, n_requests, clip_s):
     later observes the future would inflate early requests by the whole
     submission window."""
     lat, futs = [], []
+    done_audio = [0.0]
+    shed = [0]
 
     def submit(clip):
         ts = time.perf_counter()
+        secs = clip.shape[-1] / sr
         fut = server.submit(clip)
-        fut.add_done_callback(
-            lambda f, ts=ts: lat.append(time.perf_counter() - ts))
+
+        def cb(f, ts=ts, secs=secs):
+            if f.exception() is not None:
+                shed[0] += 1
+                return
+            lat.append(time.perf_counter() - ts)
+            done_audio[0] += secs
+        fut.add_done_callback(cb)
         return fut
 
     t0 = time.perf_counter()
+    offered_audio = 0.0
     for i in range(n_requests):
         target = t0 + i / rate_hz
         now = time.perf_counter()
         if target > now:
             time.sleep(target - now)
-        futs.append(submit(clips[i % len(clips)]))
+        clip = clips[i % len(clips)]
+        offered_audio += clip.shape[-1] / sr
+        futs.append(submit(clip))
     for f in futs:
-        f.result(timeout=300)
+        try:
+            f.result(timeout=300)
+        except Exception:
+            pass
     wall = time.perf_counter() - t0
     # set_result wakes result() waiters BEFORE running done-callbacks,
     # so the tail batch's latency appends may still be in flight on the
     # resolver thread — wait for them or the percentiles are computed
     # on a list short by up to max_batch samples
     deadline = time.perf_counter() + 5.0
-    while len(lat) < len(futs) and time.perf_counter() < deadline:
+    while len(lat) + shed[0] < len(futs) \
+            and time.perf_counter() < deadline:
         time.sleep(0.001)
     lat = np.array(sorted(lat))
     return {
         "mode": "open", "rate_hz": rate_hz, "requests": n_requests,
-        "offered_rtfx": round(rate_hz * clip_s, 1),
-        "agg_rtfx": round(n_requests * clip_s / wall, 1),
+        "shed": shed[0],
+        "offered_rtfx": round(offered_audio * rate_hz / n_requests, 1),
+        "agg_rtfx": round(done_audio[0] / wall, 1),
         "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1),
         "p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 1),
     }
@@ -142,44 +177,62 @@ def main():
                     help="adaptive batch-size ladder (grow under "
                          "overload toward max_batch)")
     ap.add_argument("--min_batch", type=int, default=None)
+    ap.add_argument("--var_len", type=str, default="",
+                    help="'lo,hi' seconds: variable-length traffic")
+    ap.add_argument("--length_buckets", type=str, default="",
+                    help="comma-separated bucket lengths in SECONDS for "
+                         "the 2-D (length x batch) padding ladder")
+    ap.add_argument("--deadline_ms", type=float, default=None,
+                    help="deadline-aware admission: shed requests older "
+                         "than this at dispatch time")
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     model, params = build(args)
     clips = make_clips(args, 32)
+    lbuckets = [int(float(s) * args.sr)
+                for s in args.length_buckets.split(",") if s] or None
     server = AsyncBatchServer(
         model, params, max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms, pipeline_depth=args.pipeline_depth,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
-        adaptive=args.adaptive, min_batch=args.min_batch)
+        adaptive=args.adaptive, min_batch=args.min_batch,
+        length_buckets=lbuckets, deadline_ms=args.deadline_ms)
+    mean_s = float(np.mean([c.shape[-1] / args.sr for c in clips]))
     try:
         # warm everything (bucket compile) before timing; the 16-block
-        # remote compile can exceed 10 min on a contended host
-        server.separate(clips[0], timeout=1800)
-        if args.adaptive:
-            # compile every ladder rung up front so the measurement sees
-            # steady-state growth, not a compile stall (in production
-            # the background compiler hides this; here it would skew
-            # the fixed-duration timing windows)
-            lattice = server.lattice
-            target = -(-clips[0].shape[-1] // lattice) * lattice
+        # remote compile can exceed 10 min on a contended host.
+        # Prewarm the full (length-bucket x rung) grid so the
+        # measurement sees steady-state policy, not compile stalls (in
+        # production the background compiler + server.prewarm() hide
+        # this; here it would skew the fixed-duration timing windows).
+        lattice = server.lattice
+        targets = sorted({-(-c.shape[-1] // lattice) * lattice
+                          for c in clips}) if lbuckets is None \
+            else server.length_buckets
+        if lbuckets is None and len(targets) > 6:
+            # exact-lattice mode with var_len traffic: warm the hot set
+            # the same way production would (first request per length
+            # pays it); cap the prewarm at the 6 longest
+            targets = targets[-6:]
+        for t in targets:
             for B in server._ladder:
-                print(f"prewarm rung B={B}...", file=sys.stderr)
-                server._get_fwd(target, B)
+                print(f"prewarm target={t} B={B}...", file=sys.stderr)
+                server.prewarm(lengths=[t], rungs=[B])
 
         row = closed_loop(server, clips, n_clients=4 * args.max_batch,
-                          n_requests=args.n_requests, clip_s=args.clip_s)
+                          n_requests=args.n_requests, sr=args.sr)
         print(json.dumps(row), flush=True)
 
         if not args.closed_only:
-            cap = row["agg_rtfx"] / args.clip_s  # requests/s at saturation
+            cap = row["agg_rtfx"] / mean_s  # requests/s at saturation
             rates = [float(r) for r in args.rates.split(",") if r] or \
                 [cap * f for f in (0.25, 0.5, 0.75, 0.9, 1.1)]
             for rate in rates:
                 row = open_loop(server, clips, rate,
                                 min(args.n_requests,
                                     max(60, int(rate * 15))),
-                                args.clip_s)
+                                args.sr)
                 print(json.dumps(row), flush=True)
     finally:
         server.close()

@@ -115,6 +115,12 @@ class PITLossWrapper:
         self.threshold_byloss = threshold_byloss
 
     def __call__(self, ests, targets, return_ests=False, **kwargs):
+        with jax.named_scope("pit_loss"):
+            return self._call(ests, targets, return_ests, **kwargs)
+
+    def _call(self, ests, targets, return_ests=False, **kwargs):
+        """Body of __call__ (named_scope makes SURVEY §7(d) — fused
+        pairwise PIT SI-SNR — attributable in device profiles)."""
         n_src = targets.shape[1]
         if self.pit_from == "pw_mtx":
             pw_loss = self.loss_func(ests, targets, **kwargs)

@@ -106,13 +106,13 @@ class CrossAttention:
         v = _linear(context, p["to_v"]).reshape(B, S, h, d) \
             .transpose(0, 2, 1, 3)
         sim = jnp.einsum("bhid,bhjd->bhij", q, k,
-                         preferred_element_type=jnp.float32) * self.scale
+                         preferred_element_type=ops.acc_dtype(x.dtype)) * self.scale
         if mask is not None:
             big_neg = jnp.finfo(sim.dtype).min
             sim = jnp.where(mask[:, None, None, :], sim, big_neg)
         attn = jax.nn.softmax(sim, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
+                         preferred_element_type=ops.acc_dtype(x.dtype)).astype(x.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, h * d)
         return _linear(out, p["to_out"]["0"])
 
@@ -149,13 +149,13 @@ class CrossAttentionConv(CrossAttention):
         k = k.reshape(B, S, h, d).transpose(0, 2, 1, 3)
         v = v.reshape(B, S, h, d).transpose(0, 2, 1, 3)
         sim = jnp.einsum("bhid,bhjd->bhij", q, k,
-                         preferred_element_type=jnp.float32) * self.scale
+                         preferred_element_type=ops.acc_dtype(x.dtype)) * self.scale
         if mask is not None:
             big_neg = jnp.finfo(sim.dtype).min
             sim = jnp.where(mask[:, None, None, :], sim, big_neg)
         attn = jax.nn.softmax(sim, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
+                         preferred_element_type=ops.acc_dtype(x.dtype)).astype(x.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, h * d)
         out = ops.conv1d(out.transpose(0, 2, 1), p["to_out"]["0"])
         return out.transpose(0, 2, 1)

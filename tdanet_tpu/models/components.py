@@ -198,8 +198,14 @@ class MultiHeadAttentionModule:
         B, C, T = x.shape
         xt = x.transpose(0, 2, 1)                       # (B, T, C)
         out = ops.layer_norm(xt, p["attn_in_norm"])
-        pe = ops.sinusoidal_pe(T, C, out.dtype)
-        out = out + pe[None]
+        tbl = p.get("pos_enc")
+        if isinstance(tbl, dict) and "pe" in tbl:
+            # checkpoint-provided buffer (reference path <ga>.pos_enc.pe,
+            # TDANet_best.py:229): honor it exactly when the bridge kept it
+            pe = tbl["pe"][0, :T].astype(out.dtype)[None]
+        else:
+            pe = ops.sinusoidal_pe(T, C, out.dtype)[None]
+        out = out + pe
         drop = self.dropout if training else 0.0
         akey = jax.random.fold_in(rng, 10) if rng is not None else None
         if not self.batch_first and B == 1 and not training:

@@ -149,7 +149,7 @@ class WindowAttention:
             .transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         attn = jnp.einsum("bhnc,bhmc->bhnm", q * self.scale, k,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=ops.acc_dtype(x.dtype))
         bias = p["relative_position_bias_table"].astype(attn.dtype)[
             self.rpi.reshape(-1)].reshape(N, N, -1).transpose(2, 0, 1)
         attn = attn + bias[None]
@@ -163,7 +163,7 @@ class WindowAttention:
             attn = ops.dropout(attn, jax.random.fold_in(rng, 0),
                                self.attn_drop, True)
         out = jnp.einsum("bhnm,bhmc->bhnc", attn, v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
+                         preferred_element_type=ops.acc_dtype(x.dtype)).astype(x.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
         out = _linear(out, p["proj"])
         if training and self.proj_drop > 0:

@@ -69,31 +69,35 @@ class TDANetBest(BaseModel):
 
     def _front(self, params, wav):
         """Framed conv encoder -> GlobLN -> 1x1 bottleneck. Returns
-        (bottleneck_feats, encoder_feats, rest)."""
+        (bottleneck_feats, encoder_feats, rest). The named_scope makes
+        SURVEY §7(a) (fused frame+encode) attributable in profiles."""
         K = self.enc_kernel_size
         S = K // 4
-        x, rest = ops.pad_signal(wav, K, S)
-        x = ops.conv1d(x[:, None, :], params["encoder"], stride=S,
-                       padding=K // 2)
-        s = x
-        x = ops.glob_ln(x, params["ln"])
-        x = ops.conv1d(x, params["bottleneck"])
+        with jax.named_scope("frame_encode"):
+            x, rest = ops.pad_signal(wav, K, S)
+            x = ops.conv1d(x[:, None, :], params["encoder"], stride=S,
+                           padding=K // 2)
+            s = x
+            x = ops.glob_ln(x, params["ln"])
+            x = ops.conv1d(x, params["bottleneck"])
         return x, s, rest
 
     def _back(self, params, x, s, rest):
         """Mask head -> mask x encoder feats -> overlap-add decoder ->
-        lattice trim (TDANet_best.py:512-518)."""
+        lattice trim (TDANet_best.py:512-518). named_scope = SURVEY
+        §7(c) (fused mask + OLA decode) profile attribution."""
         K = self.enc_kernel_size
         S = K // 4
-        x = ops.prelu(x, params["mask_net"]["0"])
-        x = ops.conv1d(x, params["mask_net"]["1"])
-        Bsz = x.shape[0]
-        x = x.reshape(Bsz, self.num_sources, self.enc_num_basis, -1)
-        x = jax.nn.relu(x)
-        x = x * s[:, None]
-        est = ops.conv_transpose1d(
-            x.reshape(Bsz, self.num_sources * self.enc_num_basis, -1),
-            params["decoder"], stride=S, padding=K // 2)
+        with jax.named_scope("mask_decode"):
+            x = ops.prelu(x, params["mask_net"]["0"])
+            x = ops.conv1d(x, params["mask_net"]["1"])
+            Bsz = x.shape[0]
+            x = x.reshape(Bsz, self.num_sources, self.enc_num_basis, -1)
+            x = jax.nn.relu(x)
+            x = x * s[:, None]
+            est = ops.conv_transpose1d(
+                x.reshape(Bsz, self.num_sources * self.enc_num_basis, -1),
+                params["decoder"], stride=S, padding=K // 2)
         return est[:, :, K - S: est.shape[-1] - (rest + K - S)]
 
     def apply(self, params, input_wav, *, training=False, rng=None,

@@ -238,17 +238,17 @@ class Attention1D:
         k = k.reshape(B, H, hd, S)                       # (B,H,hd,S)
         v = v.reshape(B, H, hd, S).transpose(0, 1, 3, 2)  # (B,H,S,hd)
         attn = jnp.einsum("bhlc,bhcs->bhls", q, k,
-                          preferred_element_type=jnp.float32) * self.scale
+                          preferred_element_type=ops.acc_dtype(x.dtype)) * self.scale
         if rpe is not None:
             # learned relative position bias (TDANet_OSRA_gated.py:355,382)
             assert rpe.shape[2:] == attn.shape[2:], (rpe.shape, attn.shape)
             attn = attn + rpe.astype(attn.dtype)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1) \
+        attn = jax.nn.softmax(attn.astype(ops.acc_dtype(x.dtype)), axis=-1) \
             .astype(x.dtype)
         if training and self.attn_drop > 0:
             attn = ops.dropout(attn, rng, self.attn_drop, True)
         out = jnp.einsum("bhls,bhsc->bhlc", attn, v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
+                         preferred_element_type=ops.acc_dtype(x.dtype)).astype(x.dtype)
         return out.transpose(0, 1, 3, 2).reshape(B, C, L)
 
     def apply(self, p, x, *, training=False, rng=None, rpe=None):

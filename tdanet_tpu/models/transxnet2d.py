@@ -221,16 +221,16 @@ class Attention2D:
         k = k.reshape(B, nh, hd, S)
         v = v.reshape(B, nh, hd, S).transpose(0, 1, 3, 2)
         attn = jnp.einsum("bhlc,bhcs->bhls", q, k,
-                          preferred_element_type=jnp.float32) * self.scale
+                          preferred_element_type=ops.acc_dtype(x.dtype)) * self.scale
         if rpe is not None:
             if rpe.shape[2:] != attn.shape[2:]:
                 rpe = jax.image.resize(
                     rpe, rpe.shape[:2] + attn.shape[2:], method="cubic")
             attn = attn + rpe.astype(attn.dtype)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1) \
+        attn = jax.nn.softmax(attn.astype(ops.acc_dtype(x.dtype)), axis=-1) \
             .astype(x.dtype)
         out = jnp.einsum("bhls,bhsc->bhlc", attn, v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
+                         preferred_element_type=ops.acc_dtype(x.dtype)).astype(x.dtype)
         return out.transpose(0, 1, 3, 2).reshape(B, C, H, W)
 
 

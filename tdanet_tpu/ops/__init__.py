@@ -1,6 +1,7 @@
 """Core ops: torch-parity reference implementations + TPU fast paths."""
 
 from tdanet_tpu.ops.basic import (
+    acc_dtype,
     act_storage,
     adaptive_avg_pool1d,
     avg_pool_matrix,
@@ -28,7 +29,7 @@ from tdanet_tpu.ops.basic import (
 )
 
 __all__ = [
-    "act_storage", "store_activation",
+    "acc_dtype", "act_storage", "store_activation",
     "adaptive_avg_pool1d", "avg_pool_matrix", "conv1d", "conv1d_init", "conv1d_xavier_init",
     "conv_transpose1d", "dw_s2_fold", "conv_transpose1d_xavier_init", "drop_path",
     "dropout", "glob_ln", "glob_ln_init", "group_norm1",

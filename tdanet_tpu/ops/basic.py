@@ -22,6 +22,15 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+
+def acc_dtype(dtype):
+    """Accumulation dtype for stats/attention: at least float32, but never
+    BELOW the input precision — under the fp64 exactness suite (x64 mode)
+    a hard f32 cast would silently cap accuracy at 1e-7 and hide formula
+    errors beneath it. For f32/bf16 inputs this is f32, unchanged."""
+    return jnp.promote_types(dtype, jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # Initializers (match torch defaults so training-from-scratch is comparable)
 # ---------------------------------------------------------------------------
@@ -207,34 +216,94 @@ def store_activation(x):
     return x.astype(fp8).astype(x.dtype)
 
 
-def _small_group_conv1d(x, w):
-    """Stride-1 grouped conv with FEW inputs per group and ONE output
-    per group (LGAG's gates: 512->256, groups=256, ig=2, k=3), lowered
-    to a shift-FMA chain over the (B, O, ig, T) view.
+def _small_group_conv1d(x, w, groups):
+    """Stride-1 grouped conv with FEW channels per group (in/group and
+    out/group both <= 4; LGAG's gates 512->256 g=256, LGAG3's
+    512->512 g=256), lowered to a shift-FMA chain over the
+    (B, G, ig, T) view.
 
     XLA's TPU grouped-conv lowering is pathological at this shape: the
     round-4 TDANetEMCADv1_6 profile (scripts/profile_model.py) showed
     the two LGAG gate convs at 19.2 ms EACH per B=24 forward
     (bf16[24,256,2010] out — ~75 MB of traffic, so ~0.1 ms at HBM
     speed-of-light) plus ~26 ms of forced layout copies
-    ({0,2,1,3:T(2,128)} tilings) — 38% of the model's device time. The
-    shift-FMA form is K slices of one padded tensor, multiplied by
-    per-(O, ig) scalars and reduced over ig: a single fused
-    bandwidth-bound VPU pass, like _dw_conv_s2_fold. Reference
-    semantics: torch Conv1d(F_g, F_int, k, padding=k//2, groups=F_int)
-    in EMCAD.py:251-286 (LGAG)."""
+    ({0,2,1,3:T(2,128)} tilings) — 38% of the model's device time; the
+    round-5 zoo sweep found the same lowering costing 3 x 31 ms on
+    TDANetEMCADv1_4's LGAG3 gates (out/group=2, so the original
+    one-output-per-group fast path missed them — 106x vs the
+    flagship's 1437x). The shift-FMA form is K slices of one padded
+    tensor contracted over the tiny in-group axis (einsum, og x ig x K
+    scalar FMAs per element): a single fused bandwidth-bound VPU pass,
+    like _dw_conv_s2_fold. Reference semantics: torch
+    Conv1d(F_g, F_int, k, padding=k//2, groups) in EMCAD.py:251-286
+    (LGAG) and EMCAD_test.py:291-330 (LGAG3).
+
+    og > 1 is handled by a STATIC loop over the out-group axis, each
+    output a fully fused mul-reduce over (ig, K) — NOT an einsum: the
+    round-5 v1_4 re-profile showed `bgit,goi->bgot` dot_generals cost
+    ~2 ms each (vs the ~0.15 ms roofline) AND force {3,1,2,0:T(2,128)}
+    layout copies on their operands; expanded FMAs fuse into one VPU
+    pass per output channel-of-group with no layout constraint, and the
+    closing stack is a concat XLA fuses producers into."""
     B, C, T = x.shape
     O, ig, K = w.shape
+    og = O // groups
     pad = K // 2
     n_out = T  # stride 1, 'same' padding
     xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)))
-    xr = xp.reshape(B, O, ig, T + 2 * pad)
-    out = None
-    for k in range(K):
-        sl = lax.slice_in_dim(xr, k, k + n_out, axis=3)
-        term = jnp.sum(sl * w[None, :, :, k, None], axis=2)
-        out = term if out is None else out + term
-    return out
+    xr = xp.reshape(B, groups, ig, T + 2 * pad)
+    wr = w.reshape(groups, og, ig, K)
+    slices = [lax.slice_in_dim(xr, k, k + n_out, axis=3)
+              for k in range(K)]
+    if og == 1:
+        # round-4 proven form (measured 12-19x over XLA's grouped conv)
+        out = None
+        for k in range(K):
+            term = jnp.sum(slices[k] * wr[None, :, 0, :, k, None], axis=2)
+            out = term if out is None else out + term
+        return out
+    outs = []
+    for o in range(og):
+        acc = None
+        for k in range(K):
+            # ig unrolled into explicit mul-adds: jnp.sum(sl * w, axis=2)
+            # over a >1 out-group axis gets pattern-matched back into
+            # the dot_general this path exists to avoid (measured: the
+            # reduce form benches the same as the einsum)
+            for i in range(ig):
+                term = slices[k][:, :, i, :] * wr[None, :, o, i, k, None]
+                acc = term if acc is None else acc + term
+        outs.append(acc)
+    return jnp.stack(outs, axis=2).reshape(B, O, n_out)
+
+
+def _grouped_pointwise_conv1d(x, w, groups):
+    """k=1 grouped conv with few channels per group = block-diagonal
+    matmul over tiny (og, ig) blocks. EMCADTest/v1_4's "lite-v2" pconvs
+    (Conv1d(512,256,1,groups=128) — EMCAD_test.py:160,175) miss the k>1
+    shift-FMA path and XLA's grouped-conv lowering is as pathological
+    for them as for the LGAG gates (round-5 zoo sweep: TDANetEMCADv1_3
+    at 209x vs the flagship's 1437x with these convs dominating the
+    profile). Lowered like _small_group_conv1d's og>1 path: a static
+    loop over out-of-group channels, each a fused mul-reduce over ig
+    (the og x ig blocks are far too small to tile onto the MXU — a
+    `bgit,goi` einsum measured ~2-3.5 ms per call vs the ~0.15 ms
+    traffic roofline, plus operand layout copies)."""
+    B, C, T = x.shape
+    O, ig, _ = w.shape
+    og = O // groups
+    xr = x.reshape(B, groups, ig, T)
+    wr = w.reshape(groups, og, ig)
+    outs = []
+    for o in range(og):
+        acc = None
+        for i in range(ig):  # unrolled; see _small_group_conv1d
+            term = xr[:, :, i, :] * wr[None, :, o, i, None]
+            acc = term if acc is None else acc + term
+        outs.append(acc)
+    if og == 1:
+        return outs[0]
+    return jnp.stack(outs, axis=2).reshape(B, O, T)
 
 
 def conv1d(x, params, *, stride=1, padding=0, dilation=1, groups=1):
@@ -260,10 +329,15 @@ def conv1d(x, params, *, stride=1, padding=0, dilation=1, groups=1):
             and dilation == 1 and K % 2 == 1 and padding == K // 2 \
             and x.shape[0] <= _dw_fold_gate():
         out = _dw_conv_s2_fold(x, w)
-    elif groups > 1 and O == groups and 2 <= ig <= 4 and stride == 1 \
+    elif groups > 1 and O % groups == 0 and O // groups <= 4 \
+            and 2 <= ig <= 4 and stride == 1 \
             and dilation == 1 and 1 < K <= 7 and K % 2 == 1 \
             and padding == K // 2:
-        out = _small_group_conv1d(x, w)
+        out = _small_group_conv1d(x, w, groups)
+    elif groups > 1 and O % groups == 0 and K == 1 and stride == 1 \
+            and dilation == 1 and padding == 0 \
+            and 2 <= ig <= 8 and O // groups <= 8:
+        out = _grouped_pointwise_conv1d(x, w, groups)
     else:
         out = lax.conv_general_dilated(
             x, w,
@@ -388,7 +462,7 @@ def glob_ln(x, params, *, eps=1e-8):
     the same one-pass structure internally, but a bit-exactness claim
     at that pathology would need the two-pass form."""
     dims = tuple(range(1, x.ndim))
-    xf = x.astype(jnp.float32)
+    xf = x.astype(acc_dtype(x.dtype))
     mean = jnp.mean(xf, axis=dims, keepdims=True)
     sq = jnp.mean(jnp.square(xf), axis=dims, keepdims=True)
     var = jnp.maximum(sq - jnp.square(mean), 0.0)
@@ -405,7 +479,7 @@ def group_norm1(x, params, *, eps=1e-8):
     torch's eps placement (var + eps inside rsqrt, identical) — used by most
     non-Best variants (TDANet.py:59-60). Weight/bias keys follow torch."""
     dims = tuple(range(1, x.ndim))
-    xf = x.astype(jnp.float32)
+    xf = x.astype(acc_dtype(x.dtype))
     mean = jnp.mean(xf, axis=dims, keepdims=True)
     sq = jnp.mean(jnp.square(xf), axis=dims, keepdims=True)
     var = jnp.maximum(sq - jnp.square(mean), 0.0)
@@ -451,7 +525,9 @@ def avg_pool_matrix(L, out):
     """Dense adaptive-avg-pool weights (L, out), torch bin semantics."""
     starts = (np.arange(out) * L) // out
     ends = -((-(np.arange(out) + 1) * L) // out)
-    mat = np.zeros((L, out), np.float32)
+    # f64 so the 1/(e-s) bin weights stay exact until the cast to the
+    # compute dtype at use (f32 values are identical to the old f32 build)
+    mat = np.zeros((L, out), np.float64)
     for i, (s, e) in enumerate(zip(starts, ends)):
         mat[s:e, i] = 1.0 / (e - s)
     return mat
@@ -472,6 +548,20 @@ def adaptive_avg_pool1d(x, out_size: int):
                       preferred_element_type=x.dtype)
 
 
+def nearest_idx(L: int, out_size: int) -> np.ndarray:
+    """torch's nearest-interp source-index map (static numpy).
+
+    torch's kernel floors in FLOAT32 (floorf(dst * (float)(L/out)),
+    UpSampleKernel nearest_neighbor_compute_source_index): at e.g.
+    L=14,out=110 the f32 scale rounds UP and index 55 maps to 7 where
+    exact math gives 6 — float64 here diverged from torch on every
+    depth-4 ladder (round-4 EMCAD config fuzz). Fuzzed exact vs torch
+    over all L<=256 x 66 out-sizes: zero mismatches."""
+    scale = np.float32(L / out_size)
+    idx = np.floor(np.arange(out_size, dtype=np.float32) * scale)
+    return np.minimum(idx.astype(np.int64), L - 1)
+
+
 def interpolate_nearest(x, out_size: int):
     """torch F.interpolate(mode='nearest') on the last axis:
     out[i] = in[floor(i * L_in / L_out)] (used by LA, TDANet_best.py:286-289).
@@ -489,15 +579,7 @@ def interpolate_nearest(x, out_size: int):
     L = x.shape[-1]
     if L == out_size:
         return x
-    # torch's kernel floors in FLOAT32 (floorf(dst * (float)(L/out)),
-    # UpSampleKernel nearest_neighbor_compute_source_index): at e.g.
-    # L=14,out=110 the f32 scale rounds UP and index 55 maps to 7 where
-    # exact math gives 6 — float64 here diverged from torch on every
-    # depth-4 ladder (round-4 EMCAD config fuzz). Fuzzed exact vs torch
-    # over all L<=256 x 66 out-sizes: zero mismatches.
-    scale = np.float32(L / out_size)
-    idx = np.floor(np.arange(out_size, dtype=np.float32) * scale)
-    idx = np.minimum(idx.astype(np.int64), L - 1)
+    idx = nearest_idx(L, out_size)
     k = -(-out_size // L)  # ceil ratio
     if k >= 2 and np.array_equal(idx, np.arange(out_size) // k):
         # e.g. 1005->2010 (exact x2) or 503->1005 (x2 then truncate):
@@ -536,8 +618,15 @@ def pad_signal(x, window: int, stride: int):
 
 
 def sinusoidal_pe(length: int, channels: int, dtype=jnp.float32):
-    """Sinusoidal positional table (TDANet_best.py:215-229)."""
-    # float32 throughout to match torch's arange/exp precision exactly
+    """Sinusoidal positional table (TDANet_best.py:215-229).
+
+    Always computed in float32: the reference forces f32 here even under
+    a double model (`torch.arange(..., dtype=torch.float)`,
+    TDANet_best.py:221-226), so f32 IS the reference semantics. numpy and
+    torch f32 transcendentals differ by ~1e-5 in places, which is inside
+    the fp32 fidelity tolerances; the fp64 exactness suite sidesteps this
+    by transferring the oracle's own `pos_enc.pe` buffer (see
+    GlobalAttention.apply's buffer-honoring path)."""
     position = np.arange(length)[:, None].astype(np.float32)
     div_term = np.exp(np.arange(0, channels, 2).astype(np.float32)
                       * np.float32(-(math.log(10000.0) / channels)))
@@ -591,13 +680,13 @@ def multi_head_attention(q, k, v, params, num_heads: int, *,
     kh = split_heads(kp, S)
     vh = split_heads(vp, S)
 
-    scores = jnp.einsum("nlh,nsh->nls", qh, kh,
-                        preferred_element_type=jnp.float32)
-    attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    acc = acc_dtype(q.dtype)
+    scores = jnp.einsum("nlh,nsh->nls", qh, kh, preferred_element_type=acc)
+    attn = jax.nn.softmax(scores.astype(acc), axis=-1).astype(q.dtype)
     if training and dropout_rate > 0.0:
         attn = dropout(attn, key, dropout_rate, training)
     ctx = jnp.einsum("nls,nsh->nlh", attn, vh,
-                     preferred_element_type=jnp.float32).astype(q.dtype)
+                     preferred_element_type=acc).astype(q.dtype)
     ctx = ctx.transpose(1, 0, 2).reshape(L, N, E)
     op = params["out_proj"]
     return ctx @ op["weight"].astype(q.dtype).T + op["bias"].astype(q.dtype)

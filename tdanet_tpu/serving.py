@@ -35,6 +35,12 @@ from tdanet_tpu import ops
 from tdanet_tpu.utils.separator import depth_kw, trim_renorm
 
 
+class DeadlineExceeded(RuntimeError):
+    """Raised into a request's future when deadline-aware admission
+    sheds it (AsyncBatchServer(deadline_ms=...)): the request was older
+    than the deadline when its batch was assembled."""
+
+
 def _resolve(fut, result=None, exc=None):
     """Resolve a Future, tolerating client-side cancellation — an
     InvalidStateError here must never kill a server worker thread."""
@@ -451,11 +457,32 @@ class AsyncBatchServer:
     def __init__(self, model, params, max_batch=8, max_wait_ms=5.0,
                  compute_dtype=None, dw_fold=None, pipeline_depth=2,
                  num_blocks=None, mesh=None, adaptive=False,
-                 min_batch=None):
+                 min_batch=None, length_buckets=None, deadline_ms=None):
         import queue as _queue
         import threading
         self.model, self.params = model, params
         self.max_batch = max_batch
+        # 2-D padding ladder, length axis: with variable-length traffic,
+        # exact lattice-granular bucketing (64 ms steps at the recipe
+        # shape) scatters a coalesce over many tiny per-length groups —
+        # each a separate compiled program AND a separate under-filled
+        # dispatch. Coarse length buckets (samples, lattice-aligned up)
+        # trade bounded padding waste for full batches and a bounded
+        # program set; a wav longer than the largest bucket falls back
+        # to exact lattice padding. See docs/SERVING.md (round-5
+        # variable-length study).
+        self.length_buckets = None
+        if length_buckets:
+            lat = getattr(model, "lcm", 1)
+            self.length_buckets = sorted(
+                {-(-int(t) // lat) * lat for t in length_buckets})
+        # deadline-aware admission: a request older than deadline_ms at
+        # DISPATCH time has already missed any latency target it had —
+        # shedding it (DeadlineExceeded on its future) spends the device
+        # on requests that can still make it, bounding p95 under
+        # overload instead of serving everyone late.
+        self.deadline = deadline_ms / 1e3 if deadline_ms else None
+        self.stats_shed = 0
         # dp scale-out: shard the padded batch axis over the mesh's 'dp'
         # devices, params replicated — one compiled program, N chips
         # each separating max_batch/N utterances per dispatch
@@ -530,15 +557,30 @@ class AsyncBatchServer:
             raise ValueError(
                 f"submit() takes one mono waveform (T,), got shape "
                 f"{wav.shape}")
+        import time as _time
         with self._submit_lock:
             if not self._alive:
                 raise RuntimeError("AsyncBatchServer is closed")
             fut: Future = Future()
-            self._q.put((wav, fut))
+            self._q.put((wav, fut, _time.monotonic()))
         return fut
 
     def separate(self, wav: np.ndarray, timeout=None) -> np.ndarray:
         return self.submit(wav).result(timeout=timeout)
+
+    def prewarm(self, lengths=None, rungs=None):
+        """Speculatively compile the (length-bucket x batch-rung) program
+        grid on the CALLING thread — production warm-up before taking
+        traffic, so neither a first-of-its-length request nor a rung
+        grow at the saturation knee ever waits on a multi-minute TPU
+        compile. Defaults: the configured length_buckets x full ladder."""
+        lengths = lengths if lengths is not None else \
+            (self.length_buckets or [])
+        for t in lengths:
+            t = -(-int(t) // self.lattice) * self.lattice
+            self._note_target(t)
+            for B in (rungs if rungs is not None else self._ladder):
+                self._get_fwd(t, B)
 
     def close(self):
         with self._submit_lock:
@@ -753,9 +795,27 @@ class AsyncBatchServer:
         """Bucket + launch device work WITHOUT materializing results;
         the resolver thread blocks on readback. Compile/dispatch errors
         resolve the affected futures here and must not kill the thread."""
+        import time as _time
+        if self.deadline is not None:
+            now = _time.monotonic()
+            kept = []
+            for wav, fut, ts in batch:
+                if now - ts > self.deadline:
+                    self.stats_shed += 1
+                    _resolve(fut, exc=DeadlineExceeded(
+                        f"request waited {(now - ts) * 1e3:.0f} ms > "
+                        f"deadline {self.deadline * 1e3:.0f} ms"))
+                else:
+                    kept.append((wav, fut, ts))
+            batch = kept
         buckets: Dict[int, list] = {}
-        for wav, fut in batch:
+        for wav, fut, _ts in batch:
             t = -(-wav.shape[-1] // self.lattice) * self.lattice
+            if self.length_buckets is not None:
+                for b in self.length_buckets:
+                    if b >= t:
+                        t = b
+                        break
             buckets.setdefault(t, []).append((wav, fut))
         for target, reqs in buckets.items():
             self._note_target(target)

@@ -246,3 +246,65 @@ def test_small_group_conv1d_matches_torch():
                 jnp.asarray(to_np(x)))
         np.testing.assert_allclose(np.asarray(gx), to_np(xt.grad),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_small_group_conv1d_multi_output_matches_torch():
+    """Round-5 generalization: the shift-FMA lowering also handles
+    out/group in 2..4 (LGAG3's gates, Conv1d(512,512,3,groups=256) —
+    TDANet_intergral_v1_4.py:370; XLA's lowering cost 3 x 31 ms per
+    B=24 forward, TDANetEMCADv1_4 at 106x). Forward + input/weight
+    grads vs torch."""
+    for seed, (C, O, g, K, T) in enumerate([
+            (512, 512, 256, 3, 101),  # LGAG3 (EMCAD_test.py:291-330)
+            (12, 8, 4, 5, 37),        # ig=3, og=2
+            (16, 16, 4, 7, 64)]):     # ig=4, og=4
+        torch.manual_seed(seed + 10)
+        m = nn.Conv1d(C, O, K, padding=K // 2, groups=g, bias=True)
+        x = torch.randn(3, C, T)
+        want = to_np(m(x))
+        params = {"weight": jnp.asarray(to_np(m.weight)),
+                  "bias": jnp.asarray(to_np(m.bias))}
+        got = ops.conv1d(jnp.asarray(to_np(x)), params, padding=K // 2,
+                         groups=g)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL,
+                                   atol=ATOL)
+        xt = x.clone().requires_grad_(True)
+        m(xt).square().sum().backward()
+        loss = lambda a, p: jnp.sum(ops.conv1d(  # noqa: E731
+            a, p, padding=K // 2, groups=g) ** 2)
+        gx = jax.grad(loss, argnums=0)(jnp.asarray(to_np(x)), params)
+        gw = jax.grad(loss, argnums=1)(jnp.asarray(to_np(x)), params)
+        np.testing.assert_allclose(np.asarray(gx), to_np(xt.grad),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw["weight"]),
+                                   to_np(m.weight.grad),
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_grouped_pointwise_conv1d_matches_torch():
+    """k=1 grouped convs with few channels per group lower to a
+    block-diagonal einsum (ops._grouped_pointwise_conv1d) — the
+    EMCADTest 'lite-v2' pconv shapes (EMCAD_test.py:160,175). Forward +
+    input/weight grads vs torch."""
+    for seed, (C, O, g, T) in enumerate([
+            (512, 256, 128, 101),  # pconv1: ig=4, og=2
+            (256, 512, 64, 101),   # pconv2: ig=4, og=8
+            (24, 48, 12, 37)]):    # ig=2, og=4
+        torch.manual_seed(seed + 20)
+        m = nn.Conv1d(C, O, 1, groups=g, bias=True)
+        x = torch.randn(3, C, T)
+        params = {"weight": jnp.asarray(to_np(m.weight)),
+                  "bias": jnp.asarray(to_np(m.bias))}
+        got = ops.conv1d(jnp.asarray(to_np(x)), params, groups=g)
+        np.testing.assert_allclose(np.asarray(got), to_np(m(x)),
+                                   rtol=RTOL, atol=ATOL)
+        xt = x.clone().requires_grad_(True)
+        m(xt).square().sum().backward()
+        loss = lambda a, p: jnp.sum(ops.conv1d(a, p, groups=g) ** 2)  # noqa: E731
+        gx = jax.grad(loss, argnums=0)(jnp.asarray(to_np(x)), params)
+        gw = jax.grad(loss, argnums=1)(jnp.asarray(to_np(x)), params)
+        np.testing.assert_allclose(np.asarray(gx), to_np(xt.grad),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw["weight"]),
+                                   to_np(m.weight.grad),
+                                   rtol=1e-4, atol=1e-3)

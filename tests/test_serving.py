@@ -438,3 +438,95 @@ def test_adaptive_right_size_dispatch_and_sticky_shrink():
         assert server._rung == 0, server._rung
     finally:
         server.close()
+
+
+def test_async_batch_server_length_buckets():
+    """2-D padding ladder, length axis: variable-length submissions route
+    to the configured coarse buckets (one program per bucket instead of
+    one per lattice length); a wav longer than the largest bucket falls
+    back to exact lattice padding. Semantics: pad-to-bucket, separate,
+    trim + renorm over the true region — the same pad-and-trim
+    convention the lattice bucketing already uses, at coarser
+    granularity (GlobLN stats see the padding, so this is checked
+    against the pad-to-bucket oracle, NOT the exact-length forward;
+    the quality cost of the coarser padding is measured on the
+    converged checkpoint in docs/SERVING.md)."""
+    from tdanet_tpu.serving import AsyncBatchServer
+    from tdanet_tpu.utils.separator import trim_renorm
+
+    model, params = build()
+    rng = np.random.default_rng(1)
+    lengths = [SR // 2, SR - 321, SR + 123, 2 * SR - 7, SR // 3,
+               3 * SR + 17]  # last one: beyond the largest bucket
+    wavs = [rng.standard_normal(T).astype(np.float32) * 0.1
+            for T in lengths]
+
+    server = AsyncBatchServer(model, params, max_batch=4, max_wait_ms=50,
+                              length_buckets=[SR, 2 * SR])
+    lattice = server.lattice
+
+    def oracle(wav):
+        t = -(-wav.shape[-1] // lattice) * lattice
+        for b in server.length_buckets:
+            if b >= t:
+                t = b
+                break
+        x = np.zeros((1, t), np.float32)
+        x[0, :wav.shape[-1]] = wav
+        est = np.asarray(model.apply(params, jnp.asarray(x))[0])
+        return trim_renorm(wav, est)
+
+    import jax.numpy as jnp
+    want = [oracle(w) for w in wavs]
+    try:
+        server.prewarm()  # compiles the (2 buckets x 1 rung) grid
+        assert len(server._fwd_cache) == 2
+        futs = [server.submit(w) for w in wavs]
+        got = [f.result(timeout=120) for f in futs]
+        # every request at/below 2 s went through a bucket program; only
+        # the 3 s outlier added an exact-lattice program
+        targets = {t for t, _ in server._fwd_cache}
+        assert set(server.length_buckets) <= targets
+        assert len(targets) == 3, targets
+    finally:
+        server.close()
+    for g, w in zip(got, want):
+        assert g.shape == w.shape
+        np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-5)
+
+
+def test_async_batch_server_deadline_sheds_stale():
+    """Deadline-aware admission: requests older than deadline_ms at
+    dispatch time resolve with DeadlineExceeded instead of consuming
+    device time; fresh requests still succeed."""
+    import time as _time
+
+    from tdanet_tpu.serving import AsyncBatchServer, DeadlineExceeded
+
+    model, params = build()
+    rng = np.random.default_rng(2)
+    wav = rng.standard_normal(SR).astype(np.float32) * 0.1
+
+    server = AsyncBatchServer(model, params, max_batch=2, max_wait_ms=1,
+                              deadline_ms=200.0)
+    try:
+        # first request warms the compile; the SECOND one, submitted
+        # right behind it, ages past the deadline while the compile runs
+        f0 = server.submit(wav)
+        _time.sleep(0.02)
+        f1 = server.submit(wav)
+        r0 = f0.result(timeout=120)
+        assert r0.shape == (2, SR)
+        # f1 was dispatched after f0's compile (>> 200 ms) — shed
+        try:
+            f1.result(timeout=120)
+            shed = False
+        except DeadlineExceeded:
+            shed = True
+        assert shed, "stale request was not shed"
+        assert server.stats_shed >= 1
+        # a fresh request after warm-up completes fine
+        r2 = server.separate(wav, timeout=120)
+        np.testing.assert_allclose(r2, r0, rtol=1e-5, atol=1e-6)
+    finally:
+        server.close()
