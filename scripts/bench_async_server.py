@@ -172,6 +172,12 @@ def main():
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--n_requests", type=int, default=400)
     ap.add_argument("--closed_only", action="store_true")
+    ap.add_argument("--open_only", action="store_true",
+                    help="skip the closed loop (requires explicit "
+                         "--rates): the 96-thread closed-loop submit "
+                         "storm reliably provokes multi-minute axon "
+                         "tunnel stalls on flaky days, poisoning the "
+                         "shared-process open sweep that follows")
     ap.add_argument("--rates", type=str, default="")
     ap.add_argument("--adaptive", action="store_true",
                     help="adaptive batch-size ladder (grow under "
@@ -220,19 +226,25 @@ def main():
                 print(f"prewarm target={t} B={B}...", file=sys.stderr)
                 server.prewarm(lengths=[t], rungs=[B])
 
-        row = closed_loop(server, clips, n_clients=4 * args.max_batch,
-                          n_requests=args.n_requests, sr=args.sr)
-        print(json.dumps(row), flush=True)
+        if args.open_only:
+            assert args.rates, "--open_only requires explicit --rates"
+        else:
+            row = closed_loop(server, clips, n_clients=4 * args.max_batch,
+                              n_requests=args.n_requests, sr=args.sr)
+            row["server_stats"] = dict(server.stats)
+            print(json.dumps(row), flush=True)
 
         if not args.closed_only:
-            cap = row["agg_rtfx"] / mean_s  # requests/s at saturation
-            rates = [float(r) for r in args.rates.split(",") if r] or \
-                [cap * f for f in (0.25, 0.5, 0.75, 0.9, 1.1)]
+            rates = [float(r) for r in args.rates.split(",") if r]
+            if not rates:  # requests/s at measured saturation
+                cap = row["agg_rtfx"] / mean_s
+                rates = [cap * f for f in (0.25, 0.5, 0.75, 0.9, 1.1)]
             for rate in rates:
                 row = open_loop(server, clips, rate,
                                 min(args.n_requests,
                                     max(60, int(rate * 15))),
                                 args.sr)
+                row["server_stats"] = dict(server.stats)
                 print(json.dumps(row), flush=True)
     finally:
         server.close()
