@@ -67,9 +67,18 @@ def classify(op_name):
 
 
 def main():
-    trace_dir, hlo_path = sys.argv[1], sys.argv[2]
-    top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 40
-    div = float(sys.argv[4]) if len(sys.argv) > 4 else 1.0
+    # optional: --scopes name1,name2 sums device time by jax.named_scope
+    # substring of op_name (SURVEY §7 kernel-ledger attribution)
+    scopes = []
+    argv = list(sys.argv[1:])
+    for i, a in enumerate(argv):
+        if a == "--scopes":
+            scopes = argv[i + 1].split(",")
+            argv = argv[:i] + argv[i + 2:]
+            break
+    trace_dir, hlo_path = argv[0], argv[1]
+    top_n = int(argv[2]) if len(argv) > 2 else 40
+    div = float(argv[3]) if len(argv) > 3 else 1.0
     dev = load_device_events(trace_dir)
     meta = load_hlo_meta(hlo_path)
     agg, cnt = collections.Counter(), collections.Counter()
@@ -91,6 +100,13 @@ def main():
         bycat[classify(op)] += dur
     for cat, dur in bycat.most_common():
         print(f"  {dur/1e3/div:8.3f} ms  {cat}")
+    if scopes:
+        print("scope attribution (op_name substring match):")
+        tot_us = sum(r[0] for r in rows)
+        for s in scopes:
+            d = sum(dur for dur, name, shape, op in rows if s in op)
+            print(f"  {d/1e3/div:8.3f} ms  {100 * d / max(tot_us, 1):5.1f}%"
+                  f"  scope={s}")
     print()
     for dur, name, shape, op in rows[:top_n]:
         print(f"{dur/1e3/div:8.4f} ms x{cnt[name]:4d} {name:32s} "
