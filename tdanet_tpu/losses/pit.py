@@ -88,9 +88,43 @@ def find_best_perm_hungarian(pair_wise_losses):
     return min_loss, batch_indices
 
 
+#: Backends whose PJRT runtime cannot host `jax.pure_callback` (the
+#: tunneled 'axon' TPU plugin raises UNIMPLEMENTED on host send/recv).
+#: On those, 4 <= n_src <= 5 falls back to the factorial einsum —
+#: 24/120 permutations is trivial MXU work and the argmin is identical
+#: to the Hungarian assignment, so losses/gradients are unchanged.
+_CALLBACK_FREE_BACKENDS = ("axon",)
+_FACTORIAL_FALLBACK_MAX_N = 5
+
+
+def _backend_supports_callbacks() -> bool:
+    """False when the active runtime is a known callback-free PJRT
+    plugin. The axon plugin registers under the platform name 'axon'
+    (visible in ``jax.config.jax_platforms`` and the backend registry)
+    but its client REPORTS platform 'tpu' — so ``jax.default_backend()``
+    alone cannot distinguish it from a real TPU runtime (which does
+    support callbacks); check the registration names instead."""
+    try:
+        names = set(_CALLBACK_FREE_BACKENDS)
+        if jax.default_backend() in names:
+            return False
+        platforms = jax.config.jax_platforms or ""
+        if names & set(p.strip() for p in platforms.split(",")):
+            return False
+        from jax._src import xla_bridge
+        if names & set(xla_bridge.backends()):
+            return False
+        return True
+    except Exception:
+        return True
+
+
 def find_best_perm(pair_wise_losses):
     n_src = pair_wise_losses.shape[-1]
     if n_src <= 3:
+        return find_best_perm_factorial(pair_wise_losses)
+    if (n_src <= _FACTORIAL_FALLBACK_MAX_N
+            and not _backend_supports_callbacks()):
         return find_best_perm_factorial(pair_wise_losses)
     return find_best_perm_hungarian(pair_wise_losses)
 

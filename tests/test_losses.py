@@ -106,6 +106,22 @@ def test_hungarian_matches_factorial():
     np.testing.assert_array_equal(np.asarray(f_idx), np.asarray(h_idx))
 
 
+def test_callback_free_backend_falls_back_to_factorial(monkeypatch):
+    # On backends whose PJRT runtime cannot host pure_callback (the
+    # tunneled axon TPU), n_src=4/5 must route through the factorial
+    # einsum instead of the Hungarian host callback — identical argmin.
+    from tdanet_tpu.losses import pit
+    key = jax.random.PRNGKey(2)
+    pwl = jax.random.normal(key, (4, 4, 4))
+    h_loss, h_idx = pit.find_best_perm(pwl)  # CPU default: hungarian
+    monkeypatch.setattr(pit, "_CALLBACK_FREE_BACKENDS",
+                        (jax.default_backend(),))
+    f_loss, f_idx = pit.find_best_perm(pwl)  # now: factorial fallback
+    np.testing.assert_allclose(np.asarray(f_loss), np.asarray(h_loss),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(f_idx), np.asarray(h_idx))
+
+
 def test_pit_is_jittable_and_differentiable():
     jwrap = losses.PITLossWrapper(losses.pairwise_neg_snr)
 
