@@ -3,7 +3,10 @@
 Jit-friendly: the factorial search for n_src <= 3 is a one-hot einsum over
 all permutations (pit_wrapper.py:106-131); for n_src > 3 we use a
 host-callback Hungarian assignment via scipy (pit_wrapper.py:133-142),
-keeping the loss value differentiable through a gather.
+keeping the loss value differentiable through a gather. On PJRT
+runtimes that cannot host callbacks (the tunneled axon TPU plugin),
+n_src = 4/5 falls back to the factorial einsum, whose argmin is
+identical to the Hungarian assignment.
 """
 
 from __future__ import annotations
